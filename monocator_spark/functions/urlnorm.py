@@ -1,0 +1,132 @@
+"""URL canonicalization (SURVEY.md §2 O2).
+
+Reference analogue: the URL-seen test implies a canonical form [canon — the
+reference source is stripped; rules follow RFC 3986 §6 syntax-based
+normalization as used by Mercator-lineage crawlers]:
+
+  1. scheme + host lowercased
+  2. default port stripped (``:80`` http, ``:443`` https)
+  3. fragment dropped
+  4. dot-segments resolved (``/a/./b/../c`` → ``/a/c``)
+  5. percent-encoded unreserved characters decoded (``%41`` → ``A``),
+     other escapes uppercased (``%3f`` → ``%3F``)
+  6. empty path → ``/``
+
+One pure-Python implementation serves both the reference simulator and the
+Spark engine; Spark wraps it in a *vectorized* pandas UDF (Arrow batches —
+BASELINE.json:15 "no per-row Python" means no row-at-a-time Python UDFs;
+batch-level pandas transforms are the sanctioned path).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+_SCHEME_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://")
+_UNRESERVED = set(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+
+def _decode_unreserved(path: str) -> str:
+    out = []
+    i, n = 0, len(path)
+    while i < n:
+        c = path[i]
+        if c == "%" and i + 2 < n + 1 and i + 3 <= n:
+            hx = path[i + 1 : i + 3]
+            try:
+                ch = chr(int(hx, 16))
+            except ValueError:
+                out.append(c)
+                i += 1
+                continue
+            if ch in _UNRESERVED:
+                out.append(ch)
+            else:
+                out.append("%" + hx.upper())
+            i += 3
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _remove_dot_segments(path: str) -> str:
+    segs: list[str] = []
+    for seg in path.split("/"):
+        if seg == ".":
+            continue
+        if seg == "..":
+            if segs:
+                segs.pop()
+            continue
+        segs.append(seg)
+    out = "/".join(segs)
+    if not out.startswith("/"):
+        out = "/" + out
+    if path.endswith(("/.", "/..")) and not out.endswith("/"):
+        out += "/"
+    return out
+
+
+def canonicalize_url(url: str) -> str | None:
+    """Canonical form per the spec above; None for unparseable input."""
+    if url is None:
+        return None
+    url = url.strip()
+    m = _SCHEME_RE.match(url)
+    if not m:
+        return None
+    scheme = m.group(1).lower()
+    rest = url[m.end():]
+    # drop fragment first (never part of the request)
+    frag = rest.find("#")
+    if frag >= 0:
+        rest = rest[:frag]
+    slash = rest.find("/")
+    if slash < 0:
+        authority, path = rest, ""
+    else:
+        authority, path = rest[:slash], rest[slash:]
+    authority = authority.lower()
+    if ":" in authority:
+        host, _, port = authority.rpartition(":")
+        if port == _DEFAULT_PORTS.get(scheme, ""):
+            authority = host
+    if not authority:
+        return None
+    path = path or "/"
+    q = path.find("?")
+    query = ""
+    if q >= 0:
+        path, query = path[:q], path[q:]
+    path = _remove_dot_segments(_decode_unreserved(path))
+    return f"{scheme}://{authority}{path}{query}"
+
+
+def host_of(url_norm: str) -> str:
+    """Host part of an already-canonical URL (port kept if non-default)."""
+    m = _SCHEME_RE.match(url_norm)
+    rest = url_norm[m.end():] if m else url_norm
+    slash = rest.find("/")
+    return rest if slash < 0 else rest[:slash]
+
+
+def canonicalize_series(urls: pd.Series) -> pd.Series:
+    return urls.map(canonicalize_url)
+
+
+def host_series(url_norms: pd.Series) -> pd.Series:
+    return url_norms.map(lambda u: host_of(u) if u is not None else None)
+
+
+# --- Spark-side vectorized UDFs (Arrow batch transfer) ----------------------
+
+canonicalize_udf = F.pandas_udf(canonicalize_series, StringType())
+host_udf = F.pandas_udf(host_series, StringType())

@@ -1,0 +1,1 @@
+"""monocator_spark — PySpark-native rebuild of the monocator crawl engine."""

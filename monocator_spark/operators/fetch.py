@@ -1,0 +1,101 @@
+"""Fetch + payload validation (SURVEY.md §2 O9, O11, O16).
+
+Reference analogues: `PageFetcher` max-body enforcement
+(/root/reference/src/mock-servers.MD:1-4), VAT format/checksum validation
+(/root/reference/src/mock-servers.MD:16-20), erroring page → recorded not
+fatal (/root/reference/src/mock-servers.MD:22).
+
+"Fetch" is seed-list replay against the corpus table (BASELINE.json:2): an
+equi-join of the wave on image_id. The wave is bounded (≤ wave_size rows)
+while the corpus is the 100 TB side, so the wave is broadcast — the corpus
+is never shuffled and its `bytes` column is only read for joined rows
+(parquet row-group pruning via the broadcast hash join's dynamic filter at
+scale; never project `bytes` before the wave cut, SURVEY.md §7).
+
+Validation (status 200/404/413/422) runs as ONE grouped Arrow-batched
+pandas UDF over (bytes, dims, caption, phash) — per-row numpy decode inside
+a batch, zero row-at-a-time Python at the Spark level.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import IntegerType
+
+from monocator_spark import spec
+from monocator_spark.datagen import corpus as dg
+from monocator_spark.functions.imaging import decode, phash64, pixels_for, psnr_db
+from monocator_spark.sim.simulator import INVALID, MISSING, OK, OVERSIZE
+
+
+def make_validate_udf(cfg: spec.CrawlConfig):
+    max_body, psnr_min = cfg.max_body_bytes, cfg.psnr_min_db
+
+    def validate(
+        image_id: pd.Series,
+        data: pd.Series,
+        w: pd.Series,
+        h: pd.Series,
+        caption: pd.Series,
+        phash: pd.Series,
+    ) -> pd.Series:
+        out = np.empty(len(data), dtype=np.int32)
+        for i in range(len(data)):
+            b = data.iloc[i]
+            if b is None:
+                out[i] = MISSING
+                continue
+            if len(b) > max_body:
+                out[i] = OVERSIZE
+                continue
+            try:
+                px, fmt = decode(bytes(b))
+            except ValueError:
+                out[i] = INVALID
+                continue
+            iid = image_id.iloc[i]
+            ref = pixels_for(iid, int(w.iloc[i]), int(h.iloc[i]))
+            if fmt == "png":
+                ok = np.array_equal(px, ref)
+            else:
+                ok = psnr_db(ref, px) >= psnr_min
+            if not ok or caption.iloc[i] != dg.caption_of_image(iid) or phash64(px) != int(phash.iloc[i]):
+                out[i] = INVALID
+                continue
+            out[i] = OK
+        return pd.Series(out)
+
+    return F.pandas_udf(validate, IntegerType())
+
+
+def fetch_wave(wave: DataFrame, corpus: DataFrame, cfg: spec.CrawlConfig) -> DataFrame:
+    """wave ⟕ corpus on image_id + validation status column.
+
+    An outer join can't broadcast its preserved side, so the left join is
+    decomposed: (1) INNER join with the bounded wave broadcast — the 100 TB
+    corpus is never shuffled and the scan is pruned by the broadcast hash
+    join; (2) misses (404s) recovered with a second broadcast anti-join
+    against the hit keys. Both broadcasts are ≤ wave_size rows.
+    """
+    keyed = wave.withColumn("image_id", F.substring_index("url_norm", "/", -1))
+    hit = corpus.join(F.broadcast(keyed), "image_id", "inner")
+    miss = keyed.join(
+        F.broadcast(hit.select("image_id")), "image_id", "left_anti"
+    ).select(
+        "image_id",
+        F.lit(None).cast("binary").alias("bytes"),
+        F.lit(None).cast("int").alias("w"),
+        F.lit(None).cast("int").alias("h"),
+        F.lit(None).cast("string").alias("fmt"),
+        F.lit(None).cast("string").alias("caption"),
+        F.lit(None).cast("long").alias("phash"),
+        *[c for c in keyed.columns if c != "image_id"],
+    )
+    joined = hit.unionByName(miss)
+    validate_udf = make_validate_udf(cfg)
+    return joined.withColumn(
+        "status",
+        validate_udf("image_id", "bytes", "w", "h", "caption", "phash"),
+    )

@@ -1,0 +1,204 @@
+"""Pure-Python reference crawl simulator (SURVEY.md §5.2 item 1).
+
+This is the executable stand-in for the stripped reference binary
+(/root/reference ships no Java source): an obviously-correct, single-threaded
+implementation of the crawl spec in `monocator_spark.spec`. The Spark engine
+must reproduce its crawl order and URL-seen set exactly (BASELINE.json:14
+"matching the reference's crawl ordering and URL-seen set under the same
+seed list + politeness budget").
+
+Reference lifecycle mirrored (/root/reference/src/TODO.MD:36-51):
+  dequeue → blacklist/robots gate → politeness quota → fetch → validate →
+  extract outlinks → dedup/enqueue → persist.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from monocator_spark import spec
+from monocator_spark.datagen import corpus as dg
+from monocator_spark.functions.hashing import xxh64_str
+from monocator_spark.functions.imaging import decode, phash64, pixels_for, psnr_db
+from monocator_spark.functions.urlnorm import canonicalize_url, host_of
+
+# fetch status codes (shared spec)
+OK = 200
+MISSING = 404
+OVERSIZE = 413
+INVALID = 422
+
+
+@dataclass
+class Entry:
+    url_norm: str
+    url_hash: int
+    host: str
+    priority: float
+    depth: int
+    retries: int = 0
+
+
+@dataclass
+class SimResult:
+    order: list[dict] = field(default_factory=list)     # scheduled wave rows
+    fetched: list[dict] = field(default_factory=list)   # status==200 rows
+    failed: list[dict] = field(default_factory=list)    # permanent failures
+    denied: list[dict] = field(default_factory=list)    # robots/blacklist
+    seen: dict[int, str] = field(default_factory=dict)  # url_hash -> url_norm
+    metrics: list[dict] = field(default_factory=list)
+
+
+class ReferenceSimulator:
+    def __init__(self, corpus_rows, host_state_rows, cfg: spec.CrawlConfig):
+        """corpus_rows: iterable of dicts in the input_hint shape;
+        host_state_rows: iterable of dicts (host, robots_rules, budget_per_epoch,
+        blacklisted)."""
+        self.corpus = {r["image_id"]: r for r in corpus_rows}
+        self.hosts = {r["host"]: r for r in host_state_rows}
+        self.cfg = cfg
+
+    # -- spec-shared derivations --------------------------------------------
+    @staticmethod
+    def priority_of(url_norm: str) -> float:
+        return spec.to_unit_interval(xxh64_str(spec.PRIORITY_PREFIX + url_norm))
+
+    def _entry(self, url: str, depth: int) -> Entry | None:
+        norm = canonicalize_url(url)
+        if norm is None:
+            return None
+        return Entry(
+            url_norm=norm,
+            url_hash=xxh64_str(norm),
+            host=host_of(norm),
+            priority=self.priority_of(norm),
+            depth=depth,
+        )
+
+    def _host_cfg(self, host: str) -> dict:
+        return self.hosts.get(
+            host,
+            {"robots_rules": [], "budget_per_epoch": self.cfg.per_host_quota, "blacklisted": False},
+        )
+
+    def _fetch(self, e: Entry) -> tuple[int, dict | None]:
+        image_id = e.url_norm.rsplit("/", 1)[-1]
+        row = self.corpus.get(image_id)
+        if row is None:
+            return MISSING, None
+        if len(row["bytes"]) > self.cfg.max_body_bytes:
+            return OVERSIZE, None
+        try:
+            px, fmt = decode(row["bytes"])
+        except ValueError:
+            return INVALID, None
+        ref = pixels_for(image_id, row["w"], row["h"])
+        if fmt == "png":
+            if not np.array_equal(px, ref):
+                return INVALID, None
+        elif psnr_db(ref, px) < self.cfg.psnr_min_db:
+            return INVALID, None
+        if row["caption"] != dg.caption_of_image(image_id):
+            return INVALID, None
+        if phash64(px) != row["phash"]:
+            return INVALID, None
+        return OK, row
+
+    # -- main loop -----------------------------------------------------------
+    def run(self, seed_urls: list[str], max_epochs: int = 1000) -> SimResult:
+        res = SimResult()
+        pending: dict[int, Entry] = {}
+
+        def enqueue(url: str, depth: int) -> None:
+            e = self._entry(url, depth)
+            if e is None:
+                return
+            if e.url_hash in res.seen:
+                return
+            res.seen[e.url_hash] = e.url_norm
+            pending[e.url_hash] = e
+
+        # intra-batch duplicate → min depth wins (spec: order-free dedup)
+        def enqueue_batch(urls_depths: list[tuple[str, int]]) -> None:
+            batch: dict[int, Entry] = {}
+            for url, depth in urls_depths:
+                e = self._entry(url, depth)
+                if e is None or e.url_hash in res.seen:
+                    continue
+                prev = batch.get(e.url_hash)
+                if prev is None or e.depth < prev.depth:
+                    batch[e.url_hash] = e
+            for h, e in batch.items():
+                res.seen[h] = e.url_norm
+                pending[h] = e
+
+        enqueue_batch([(u, 0) for u in seed_urls])
+
+        for epoch in range(max_epochs):
+            # gate: blacklist + robots (drop permanently)
+            schedulable: list[Entry] = []
+            for e in list(pending.values()):
+                cfg = self._host_cfg(e.host)
+                path = e.url_norm.split("://", 1)[1]
+                path = path[path.find("/"):]
+                if cfg["blacklisted"]:
+                    res.denied.append({"url_hash": e.url_hash, "url_norm": e.url_norm,
+                                       "reason": "blacklist", "epoch": epoch})
+                    del pending[e.url_hash]
+                elif not dg.robots_allowed(path, cfg["robots_rules"]):
+                    res.denied.append({"url_hash": e.url_hash, "url_norm": e.url_norm,
+                                       "reason": "robots", "epoch": epoch})
+                    del pending[e.url_hash]
+                else:
+                    schedulable.append(e)
+
+            # politeness: per-host quota by (priority DESC, url_hash ASC)
+            by_host: dict[str, list[Entry]] = {}
+            for e in schedulable:
+                by_host.setdefault(e.host, []).append(e)
+            quota_rows: list[Entry] = []
+            for host, rows in by_host.items():
+                quota = min(self.cfg.per_host_quota, self._host_cfg(host)["budget_per_epoch"])
+                rows.sort(key=lambda r: (-r.priority, r.url_hash))
+                quota_rows.extend(rows[:quota])
+
+            # global wave order + cap
+            quota_rows.sort(key=lambda r: (-r.priority, r.url_hash))
+            wave = quota_rows[: self.cfg.wave_size]
+            if not wave:
+                break
+
+            n_fetched = n_failed = 0
+            outlink_batch: list[tuple[str, int]] = []
+            for pos, e in enumerate(wave):
+                res.order.append({"epoch": epoch, "wave_pos": pos,
+                                  "url_norm": e.url_norm, "url_hash": e.url_hash})
+                status, row = self._fetch(e)
+                if status == OK:
+                    n_fetched += 1
+                    res.fetched.append({
+                        "url_hash": e.url_hash, "url_norm": e.url_norm,
+                        "image_id": row["image_id"], "caption": row["caption"],
+                        "phash": row["phash"], "fetch_epoch": epoch,
+                        "wave_pos": pos, "status": status,
+                    })
+                    del pending[e.url_hash]
+                    if self.cfg.follow_outlinks and e.depth < self.cfg.max_depth:
+                        for link in dg.outlinks_of(e.url_norm, self.cfg.n_images, self.cfg.n_hosts):
+                            outlink_batch.append((link, e.depth + 1))
+                elif status == MISSING and e.retries < self.cfg.max_retries:
+                    e.retries += 1  # stays pending → rescheduled next epoch
+                else:
+                    n_failed += 1
+                    res.failed.append({"url_hash": e.url_hash, "url_norm": e.url_norm,
+                                       "status": status, "epoch": epoch})
+                    del pending[e.url_hash]
+
+            enqueue_batch(outlink_batch)
+            res.metrics.append({
+                "epoch": epoch, "scheduled": len(wave), "fetched": n_fetched,
+                "failed": n_failed, "frontier_size": len(pending),
+            })
+        return res

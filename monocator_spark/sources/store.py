@@ -1,0 +1,115 @@
+"""SnapshotStore — manifest-pinned parquet tables with atomic epoch commits.
+
+Plays the role Iceberg plays in the north rule ("checkpoints frontier state
+and Bloom shards to Iceberg snapshots", BASELINE.json:6). The Iceberg Spark
+runtime jar is not available offline in this sandbox, so this is the
+fallback called out in SURVEY.md §7 step 3: parquet data files + a JSON
+manifest per committed epoch, one storage interface, swap-in Iceberg later
+(`IcebergStore` would implement the same four methods with
+``writeTo(...).append()`` / ``MERGE INTO`` + snapshot-id pinning).
+
+Semantics provided (the subset of Iceberg the engine needs):
+  * atomic multi-table commit — data files are written first, then a single
+    manifest JSON is fs-renamed into place; readers only ever see fully
+    committed epochs (reference analogue: the transactional
+    ``VisitService.save`` flow, /root/reference/src/TODO.MD:44-51)
+  * snapshot isolation + time travel — ``load(table, epoch=k)`` reads the
+    file set pinned by epoch k's manifest
+  * exact resume — ``last_epoch()`` + ``load`` = restart from the last
+    committed epoch; a half-written epoch leaves no manifest and is invisible
+
+At 100 TB the same layout holds: manifests list O(files), not O(rows);
+"overwrite" tables (frontier) become Iceberg MERGE-on-read deletes instead
+of rewrites, which is why writes go through this interface and not straight
+``df.write``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotStore:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)
+        self._staged: dict[str, dict] = {}  # table -> {"mode": .., "dir": ..}
+
+    # -- manifest bookkeeping -------------------------------------------------
+    def _manifest_path(self, epoch: int) -> str:
+        return os.path.join(self.root, "_manifests", f"epoch-{epoch:08d}.json")
+
+    def last_epoch(self) -> int | None:
+        mdir = os.path.join(self.root, "_manifests")
+        epochs = [
+            int(f[len("epoch-"):-len(".json")])
+            for f in os.listdir(mdir)
+            if f.startswith("epoch-") and f.endswith(".json")
+        ]
+        return max(epochs) if epochs else None
+
+    def _read_manifest(self, epoch: int) -> dict:
+        with open(self._manifest_path(epoch)) as f:
+            return json.load(f)
+
+    # -- staged writes ---------------------------------------------------------
+    def _stage_dir(self, table: str, epoch: int) -> str:
+        d = os.path.join(self.root, table, f"epoch={epoch}", uuid.uuid4().hex[:12])
+        return d
+
+    def stage_append(self, table: str, df: DataFrame, epoch: int) -> None:
+        d = self._stage_dir(table, epoch)
+        df.write.mode("overwrite").parquet(d)
+        self._staged.setdefault(table, {"mode": "append", "dirs": []})
+        self._staged[table]["dirs"].append(d)
+
+    def stage_overwrite(self, table: str, df: DataFrame, epoch: int) -> None:
+        d = self._stage_dir(table, epoch)
+        df.write.mode("overwrite").parquet(d)
+        self._staged[table] = {"mode": "overwrite", "dirs": [d]}
+
+    def commit(self, epoch: int, meta: dict | None = None) -> None:
+        """Atomically publish all staged writes as epoch ``epoch``."""
+        prev = self.last_epoch()
+        tables: dict[str, list[str]] = {}
+        if prev is not None:
+            tables = dict(self._read_manifest(prev)["tables"])
+        for table, st in self._staged.items():
+            if st["mode"] == "overwrite":
+                tables[table] = list(st["dirs"])
+            else:
+                tables[table] = list(tables.get(table, [])) + list(st["dirs"])
+        manifest = {"epoch": epoch, "tables": tables, "meta": meta or {}}
+        tmp = self._manifest_path(epoch) + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.rename(tmp, self._manifest_path(epoch))  # the atomic commit point
+        self._staged = {}
+
+    def abort(self) -> None:
+        for st in self._staged.values():
+            for d in st["dirs"]:
+                shutil.rmtree(d, ignore_errors=True)
+        self._staged = {}
+
+    # -- reads -----------------------------------------------------------------
+    def load(self, spark: SparkSession, table: str, epoch: int | None = None) -> DataFrame | None:
+        """Read a table as of a committed epoch (default: latest)."""
+        ep = self.last_epoch() if epoch is None else epoch
+        if ep is None:
+            return None
+        dirs = self._read_manifest(ep)["tables"].get(table)
+        if not dirs:
+            return None
+        return spark.read.parquet(*dirs)
+
+    def meta(self, epoch: int | None = None) -> dict | None:
+        ep = self.last_epoch() if epoch is None else epoch
+        if ep is None:
+            return None
+        return self._read_manifest(ep)["meta"]
