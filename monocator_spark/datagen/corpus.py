@@ -79,7 +79,11 @@ def corpus_row(
     fmt = fmt_of_image(image_id)
     px = pixels_for(image_id, w, h)
     data = encode(px, fmt)
-    ph = phash64(px)
+    # phash of the *decoded* pixels: that is what a fetcher can recompute,
+    # so clean lossy rows validate OK and only genuine corruption trips 422
+    from monocator_spark.functions.imaging import decode as _decode
+
+    ph = phash64(_decode(data)[0] if fmt == "jpeg" else px)
     if corrupt:  # wrongCheckSum analogue (reference src/mock-servers.MD:20)
         ph ^= 0xFF
     if oversize:  # over-max body analogue (reference src/mock-servers.MD:1-4)

@@ -1,0 +1,59 @@
+"""Codec/phash/PSNR invariants (BASELINE.json:15 payload gates)."""
+
+import numpy as np
+import pytest
+
+from monocator_spark import spec
+from monocator_spark.functions.imaging import (
+    decode, encode, phash64, pixels_for, psnr_db,
+)
+
+
+def test_png_lossless_roundtrip():
+    px = pixels_for("img0000000001", 64, 32)
+    got, fmt = decode(encode(px, "png"))
+    assert fmt == "png"
+    assert np.array_equal(got, px)
+
+
+def test_jpeg_lossy_but_above_gate():
+    px = pixels_for("img0000000002", 128, 64)
+    got, fmt = decode(encode(px, "jpeg"))
+    assert fmt == "jpeg"
+    assert not np.array_equal(got, px)  # genuinely lossy
+    p = psnr_db(px, got)
+    assert spec.PSNR_MIN_DB <= p < float("inf")
+
+
+def test_pixels_deterministic():
+    a = pixels_for("imgX", 32, 32)
+    b = pixels_for("imgX", 32, 32)
+    c = pixels_for("imgY", 32, 32)
+    assert np.array_equal(a, b)
+    assert not np.array_equal(a, c)
+
+
+def test_phash_stable_and_sensitive():
+    px = pixels_for("img0000000003", 64, 64)
+    h1 = phash64(px)
+    assert h1 == phash64(px.copy())
+    other = pixels_for("img0000000004", 64, 64)
+    assert h1 != phash64(other)
+    assert -(1 << 63) <= h1 < (1 << 63)
+
+
+def test_corpus_phash_recomputable_from_decode():
+    """The stored phash is the phash of the *decoded* pixels, so a clean
+    row always validates (quantization may flip raw-pixel phash bits)."""
+    from monocator_spark.datagen.corpus import corpus_row
+
+    for i in range(30):
+        row = corpus_row(i)
+        dec, _ = decode(row["bytes"])
+        assert phash64(dec) == row["phash"], i
+
+
+@pytest.mark.parametrize("junk", [b"", b"xyz", b"MPNG\x01\x00\x01\x00" + b"toolong" * 5])
+def test_corrupt_decode_raises(junk):
+    with pytest.raises(ValueError):
+        decode(junk)
