@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Bench harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line.
+
+Every query is forced end-to-end with a noop sink (full materialization,
+no driver collect). The reported value is total seconds across headline
+queries; per-query seconds are in "queries".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from monocator_spark.queries import REGISTRY  # noqa: E402
+from monocator_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "wave_select_rank",
+    "politeness_quota",
+    "dedup_anti_join",
+    "broadcast_join_agg",
+    "lineage_rollup",
+    "topk_global",
+    "range_join_window",
+    "json_extract_agg",
+    "tumbling_window",
+    "token_count",
+    "quality_score",
+    "fingerprint_doc",
+    "shingle_jaccard_pairs",
+    "minhash_dedup_groups",
+    "simhash_docs",
+    "embedding_cosine_topk",
+    "ann_ivf_bucketed",
+    "bloom_build_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/Arrow path once so q1 doesn't pay session startup
+    REGISTRY["topk_global"][0](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn, _ = REGISTRY[name]
+        t0 = time.monotonic()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = round(time.monotonic() - t0, 3)
+        per_query[name] = dt
+        total += dt
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

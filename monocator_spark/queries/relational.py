@@ -1,0 +1,320 @@
+"""Relational crawl-surface operators over the driver testdata (SURVEY.md §2.2).
+
+Each query is the driver-checkable analogue of a crawl operator, named in the
+comments. Money/value sums use exact integer cents (cast(round(x*100) as
+bigint)) so Spark's and DuckDB's float summation order can't diverge; double
+outputs are only ever produced by identical-operand divisions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+_CENTS = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
+
+
+# -- O1/O7: wave selection = per-key top-k by total order ---------------------
+def q_wave_select_rank(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 3)
+        .select("user_id", "event_id", "value", "rn")
+    )
+
+
+SQL_WAVE = """
+SELECT user_id, event_id, value, rn FROM (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+  FROM events) t
+WHERE rn <= 3
+"""
+
+
+# -- O7: politeness quota = first-k per host by time --------------------------
+def q_politeness_quota(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_CENTS("value")).alias("sum_value_cents"),
+        )
+    )
+
+
+SQL_QUOTA = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events) t
+WHERE rn <= 5 GROUP BY event_type
+"""
+
+
+# -- O4: URL-seen dedup = left-anti join --------------------------------------
+def q_dedup_anti_join(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+SQL_ANTI = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+# -- O13: scan-cache hit detection = left-semi join ---------------------------
+def q_cache_semi_join(spark, sf_dir):
+    s = T(spark, sf_dir, "supplier")
+    c = T(spark, sf_dir, "customer")
+    return s.join(
+        c, s.s_nationkey == c.c_nationkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+SQL_SEMI = """
+SELECT s_suppkey, s_name FROM supplier s
+WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = s.s_nationkey)
+"""
+
+
+# -- O5/O9: broadcast dim join + agg ------------------------------------------
+def q_broadcast_join_agg(spark, sf_dir):
+    o = T(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_CENTS("o_totalprice")).alias("revenue_cents"),
+        )
+    )
+
+
+SQL_BCAST = """
+SELECT n_name, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderstatus = 'O' GROUP BY n_name
+"""
+
+
+# -- O17: lineage/metrics rollup (TPC-H Q1 shape) -----------------------------
+def q_lineage_rollup(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp")
+    )
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round("l_quantity").cast("long")).alias("sum_qty"),
+        F.sum(_CENTS("l_extendedprice")).alias("sum_price_cents"),
+    )
+    return agg.withColumn(
+        "avg_qty", F.round(F.col("sum_qty") / F.col("n"), 6)
+    )
+
+
+SQL_Q1 = """
+SELECT l_returnflag, l_linestatus, n, sum_qty, sum_price_cents,
+       ROUND(CAST(sum_qty AS DOUBLE) / n, 6) AS avg_qty
+FROM (
+  SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+         CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+  GROUP BY l_returnflag, l_linestatus) t
+"""
+
+
+# -- O17: grouping-sets rollup -------------------------------------------------
+def q_rollup_groupsets(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+SQL_ROLLUP = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# -- O1: global wave cut = total-order sort + limit ---------------------------
+def q_topk_global(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+SQL_TOPK = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+
+
+# -- O7: politeness time window = equi + range join ---------------------------
+def q_range_join_window(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate >= o.o_orderdate)
+            & (li.l_shipdate <= o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_RANGE = """
+SELECT o_orderpriority, COUNT(*) AS n
+FROM orders JOIN lineitem
+  ON l_orderkey = o_orderkey
+ AND l_shipdate >= o_orderdate
+ AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
+GROUP BY o_orderpriority
+"""
+
+
+# -- tests §5.2: seen-set diff = set EXCEPT ------------------------------------
+def q_set_except(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    f = o.where(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    op = o.where(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    return f.exceptAll(op)
+
+
+SQL_EXCEPT = """
+SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+EXCEPT
+SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+# -- O2-adjacent: JSON props extraction ----------------------------------------
+def q_json_extract_agg(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.withColumn("k_bucket", F.pmod(k, F.lit(10)))
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_CENTS("value")).alias("sum_value_cents"),
+        )
+    )
+
+
+SQL_JSON = """
+SELECT CAST(regexp_extract(props, '[0-9]+') AS BIGINT) % 10 AS k_bucket,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY 1
+"""
+
+
+# -- O3/O4: deterministic hash sharding (md5 — shared with DuckDB) -------------
+def q_md5_shard(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    shard = F.expr("cast(conv(substr(md5(text),1,4),16,10) as bigint) % 16")
+    return d.groupBy(shard.alias("shard")).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+SQL_SHARD = """
+SELECT CAST(('0x'||substr(md5(text),1,4)) AS BIGINT) % 16 AS shard,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+# -- O14: screenshot policy = CASE WHEN chain ----------------------------------
+def q_case_when_policy(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    policy = (
+        F.when(F.col("value") < 10, "never")
+        .when(F.col("value") < 50, "if_changed")
+        .otherwise("always")
+    )
+    return (
+        e.withColumn("policy", policy)
+        .groupBy("event_type", "policy")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_POLICY = """
+SELECT event_type,
+       CASE WHEN value < 10 THEN 'never'
+            WHEN value < 50 THEN 'if_changed'
+            ELSE 'always' END AS policy,
+       COUNT(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+# -- O17: epoch metrics = tumbling time window ---------------------------------
+def q_tumbling_window(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    # hour bucket emitted as a formatted string: parquet timestamps are µs,
+    # Spark/pandas round-trip them as ns — a string output sidesteps any
+    # timestamp-unit mismatch in the value-hash comparison
+    return (
+        e.withColumn(
+            "hour_ts", F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+        )
+        .groupBy("hour_ts", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_CENTS("value")).alias("sum_value_cents"),
+        )
+    )
+
+
+SQL_TUMBLE = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts, event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY 1, 2
+"""
+
+
+RELATIONAL = {
+    "wave_select_rank": (q_wave_select_rank, SQL_WAVE),
+    "politeness_quota": (q_politeness_quota, SQL_QUOTA),
+    "dedup_anti_join": (q_dedup_anti_join, SQL_ANTI),
+    "cache_semi_join": (q_cache_semi_join, SQL_SEMI),
+    "broadcast_join_agg": (q_broadcast_join_agg, SQL_BCAST),
+    "lineage_rollup": (q_lineage_rollup, SQL_Q1),
+    "rollup_groupsets": (q_rollup_groupsets, SQL_ROLLUP),
+    "topk_global": (q_topk_global, SQL_TOPK),
+    "range_join_window": (q_range_join_window, SQL_RANGE),
+    "set_except": (q_set_except, SQL_EXCEPT),
+    "json_extract_agg": (q_json_extract_agg, SQL_JSON),
+    "md5_shard": (q_md5_shard, SQL_SHARD),
+    "case_when_policy": (q_case_when_policy, SQL_POLICY),
+    "tumbling_window": (q_tumbling_window, SQL_TUMBLE),
+}

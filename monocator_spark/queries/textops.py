@@ -1,0 +1,464 @@
+"""Training-data-pipeline text operators over `documents` (brief: dedup,
+text analysis, fingerprinting — first-class alongside SURVEY.md §2).
+
+Cross-engine parity rules used throughout:
+  * token counts via pure length arithmetic (identical in any engine),
+  * hashes via md5 → 15-hex-digit bigint (Spark conv() ≡ DuckDB hex cast,
+    verified bit-identical),
+  * doubles only from identical-operand divisions, rounded.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from monocator_spark.queries.relational import T
+
+# token count without split(): (len - len(without-spaces)) + 1
+_NTOK = "(length(text) - length(replace(text, ' ', ''))) + 1"
+# occurrences of a padded word in ' '||text||' '
+def _hits(word: str) -> str:
+    pad = f" {word} "
+    return (
+        f"cast((length(' '||text||' ') - "
+        f"length(replace(' '||text||' ', '{pad}', ''))) / {len(pad)} as bigint)"
+    )
+
+
+# md5 → bigint, shared with DuckDB (15 hex digits = 60 bits, always positive)
+def _md5long(expr: str) -> str:
+    return f"cast(conv(substr(md5({expr}),1,15),16,10) as bigint)"
+
+
+def _md5long_duck(expr: str) -> str:
+    return f"CAST(('0x'||substr(md5({expr}),1,15)) AS BIGINT)"
+
+
+# word 5-gram shingles, distinct per doc. Word n-grams (not char n-grams)
+# are the standard for training-data near-dup: a specific 5-word sequence is
+# rare unless genuinely copied, so the shingle index has low fan-out and the
+# pair joins stay near-linear.
+_SHINGLE_SPARK = (
+    "explode(array_distinct(transform("
+    "sequence(1, greatest(size(split(text, ' ')) - 4, 1)),"
+    " i -> array_join(slice(split(text, ' '), i, 5), ' '))))"
+)
+_SHINGLE_DUCK = """
+  SELECT DISTINCT doc_id, source, array_to_string(toks[i:i+4], ' ') AS sh
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS toks,
+               unnest(range(1, greatest(len(string_split(text, ' '))-4,1)+1)) AS i
+        FROM documents) t
+"""
+
+
+# -- token counting ------------------------------------------------------------
+def q_token_count(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    d = d.withColumn("n_tokens", F.expr(_NTOK).cast("long"))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.round(F.sum("n_tokens") / F.count(F.lit(1)), 6).alias("avg_tokens"),
+    )
+
+
+SQL_TOKENS = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6) AS avg_tokens
+FROM (SELECT lang,
+             CAST((length(text) - length(replace(text, ' ', ''))) + 1 AS BIGINT) AS n_tokens
+      FROM documents) t
+GROUP BY lang
+"""
+
+
+# -- exact dedup (hash-groupBy) --------------------------------------------------
+def q_exact_dedup_docs(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("text_md5"))
+        .agg(F.min("doc_id").alias("rep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .where(F.col("n_copies") > 1)
+    )
+
+
+SQL_EXACT_DEDUP = """
+SELECT md5(text) AS text_md5, MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+# -- quality scoring -------------------------------------------------------------
+def q_quality_score(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    d = (
+        d.withColumn("n_tokens", F.expr(_NTOK).cast("long"))
+        .withColumn("n_nospace", F.length(F.regexp_replace("text", " ", "")).cast("long"))
+        .withColumn("stop_hits", F.expr(_hits("the")) + F.expr(_hits("a")))
+    )
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("n_nospace") / F.col("n_tokens"), 6).alias("avg_word_len"),
+        F.round(F.col("stop_hits") / F.col("n_tokens"), 6).alias("stop_ratio"),
+    )
+
+
+SQL_QUALITY = """
+SELECT doc_id, n_tokens,
+       ROUND(CAST(n_nospace AS DOUBLE) / n_tokens, 6) AS avg_word_len,
+       ROUND(CAST(stop_hits AS DOUBLE) / n_tokens, 6) AS stop_ratio
+FROM (
+  SELECT doc_id,
+    CAST((length(text) - length(replace(text, ' ', ''))) + 1 AS BIGINT) AS n_tokens,
+    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_nospace,
+    CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) / 5 AS BIGINT)
+    + CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ''))) / 3 AS BIGINT)
+      AS stop_hits
+  FROM documents) t
+"""
+
+
+# -- language-ID heuristic --------------------------------------------------------
+def q_langid_markers(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    d = d.withColumn("c_the", F.expr(_hits("the"))).withColumn(
+        "pred_en", F.col("c_the") > 0
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("pred_en").cast("long")).alias("n_pred_en"),
+    )
+
+
+SQL_LANGID = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN
+         (length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) > 0
+         THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_en
+FROM documents GROUP BY lang
+"""
+
+
+# -- document fingerprinting -------------------------------------------------------
+def q_fingerprint_doc(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.substring(F.md5("text"), 1, 16).alias("fp"),
+        F.expr(_md5long("text")).alias("fp_long"),
+    )
+
+
+SQL_FINGERPRINT = f"""
+SELECT doc_id, substr(md5(text),1,16) AS fp,
+       {_md5long_duck('text')} AS fp_long
+FROM documents
+"""
+
+
+# -- n-gram Jaccard near-dup pairs ---------------------------------------------------
+def q_shingle_jaccard_pairs(spark, sf_dir, threshold: float = 0.8):
+    """Exact Jaccard-≥t pairs via *prefix filtering* (PPJoin-style).
+
+    The naive plan — self-join the doc×shingle table on shingle — is
+    quadratic in every hot shingle's document frequency and melts at scale.
+    At t=0.8 (the standard near-dup threshold) the prefix is only the
+    rarest ~20% of each doc's shingles, so the candidate join fan-out
+    collapses; at low thresholds prefix filtering degenerates to the naive
+    join (p → |d|), which is why the threshold is part of the spec.
+    Prefix filtering is output-identical but joins only each document's
+    p = |d| - ceil(t·|d|) + 1 globally-rarest shingles (any pair with
+    Jaccard ≥ t must share one of them), then verifies candidates with an
+    exact intersection count. The DuckDB oracle keeps the naive plan, which
+    is the point: same semantics, scalable physical strategy.
+    """
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents")
+    sh = d.select("doc_id", "source", F.expr(_SHINGLE_SPARK).alias("sh")).distinct()
+    sh = sh.persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    freq = sh.groupBy("source", "sh").agg(F.count(F.lit(1)).alias("gf"))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("gf"), F.asc("sh"))
+    prefix = (
+        sh.join(freq, ["source", "sh"])
+        .withColumn("rn", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        .where(F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+        .select("doc_id", "source", "sh")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )
+    sh1 = sh.select(F.col("doc_id").alias("doc1"), F.col("sh").alias("sh1"))
+    sh2 = sh.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
+    inter = (
+        cand.join(sh1, "doc1")
+        .join(sh2, (F.col("doc2") == F.col("d2")) & (F.col("sh1") == F.col("sh2")))
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("sz").alias("sz2"))
+    out = (
+        inter.join(s1, "doc1")
+        .join(s2, "doc2")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out.select("doc1", "doc2", "jaccard")
+
+
+SQL_JACCARD = f"""
+WITH sh AS ({_SHINGLE_DUCK}),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS inter
+  FROM sh a JOIN sh b
+    ON a.source = b.source AND a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc1, doc2,
+       ROUND(CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter), 6) AS jaccard
+FROM inter JOIN sizes s1 ON s1.doc_id = doc1 JOIN sizes s2 ON s2.doc_id = doc2
+WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.8
+"""
+
+
+# -- MinHash signatures ----------------------------------------------------------------
+def q_minhash_signature(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.expr(_SHINGLE_SPARK).alias("sh")).distinct()
+    seeded = sh.withColumn("seed", F.explode(F.sequence(F.lit(0), F.lit(7))))
+    hashed = seeded.withColumn(
+        "hv", F.expr(_md5long("concat(sh, '|', cast(seed as string))"))
+    )
+    return hashed.groupBy("doc_id", "seed").agg(F.min("hv").alias("minhash"))
+
+
+SQL_MINHASH = f"""
+WITH sh AS (SELECT DISTINCT doc_id, sh FROM ({_SHINGLE_DUCK}) q),
+seeded AS (
+  SELECT doc_id, sh, unnest(range(0, 8)) AS seed FROM sh)
+SELECT doc_id, CAST(seed AS INT) AS seed,
+       MIN({_md5long_duck("concat(sh, '|', CAST(seed AS VARCHAR))")}) AS minhash
+FROM seeded GROUP BY doc_id, seed
+"""
+
+
+# -- MinHash LSH banding → candidate pairs ------------------------------------------------
+def q_minhash_lsh_pairs(spark, sf_dir):
+    sig = q_minhash_signature(spark, sf_dir)
+    bands = sig.groupBy(
+        "doc_id", F.floor(F.col("seed") / 2).cast("long").alias("band")
+    ).agg(
+        F.min(F.when(F.col("seed") % 2 == 0, F.col("minhash"))).alias("h0"),
+        F.min(F.when(F.col("seed") % 2 == 1, F.col("minhash"))).alias("h1"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h0") == F.col("b.h0"))
+            & (F.col("a.h1") == F.col("b.h1"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )
+
+
+SQL_LSH = f"""
+WITH sh AS (SELECT DISTINCT doc_id, sh FROM ({_SHINGLE_DUCK}) q),
+seeded AS (SELECT doc_id, sh, unnest(range(0, 8)) AS seed FROM sh),
+sig AS (
+  SELECT doc_id, seed,
+         MIN({_md5long_duck("concat(sh, '|', CAST(seed AS VARCHAR))")}) AS minhash
+  FROM seeded GROUP BY doc_id, seed),
+bands AS (
+  SELECT doc_id, CAST(seed // 2 AS BIGINT) AS band,
+         MIN(CASE WHEN seed % 2 = 0 THEN minhash END) AS h0,
+         MIN(CASE WHEN seed % 2 = 1 THEN minhash END) AS h1
+  FROM sig GROUP BY 1, 2)
+SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id
+"""
+
+
+# -- MinHash dedup groups (linear output — the 100 TB shape) --------------------------------
+def q_minhash_dedup_groups(spark, sf_dir):
+    """Near-dup dedup the way a training-data pipeline actually consumes it:
+    each doc mapped to a cluster representative (min doc_id sharing any LSH
+    band), not the quadratic all-pairs list. Output size is O(docs) no
+    matter how dense the duplicate clusters are."""
+    sig = q_minhash_signature(spark, sf_dir)
+    bands = sig.groupBy(
+        "doc_id", F.floor(F.col("seed") / 2).cast("long").alias("band")
+    ).agg(
+        F.min(F.when(F.col("seed") % 2 == 0, F.col("minhash"))).alias("h0"),
+        F.min(F.when(F.col("seed") % 2 == 1, F.col("minhash"))).alias("h1"),
+    )
+    grp = bands.groupBy("band", "h0", "h1").agg(F.min("doc_id").alias("grp_rep"))
+    return (
+        bands.join(grp, ["band", "h0", "h1"])
+        .groupBy("doc_id")
+        .agg(F.min("grp_rep").alias("rep_id"))
+        .withColumn("is_dup", F.col("doc_id") > F.col("rep_id"))
+    )
+
+
+SQL_DEDUP_GROUPS = f"""
+WITH sh AS (SELECT DISTINCT doc_id, sh FROM ({_SHINGLE_DUCK}) q),
+seeded AS (SELECT doc_id, sh, unnest(range(0, 8)) AS seed FROM sh),
+sig AS (
+  SELECT doc_id, seed,
+         MIN({_md5long_duck("concat(sh, '|', CAST(seed AS VARCHAR))")}) AS minhash
+  FROM seeded GROUP BY doc_id, seed),
+bands AS (
+  SELECT doc_id, CAST(seed // 2 AS BIGINT) AS band,
+         MIN(CASE WHEN seed % 2 = 0 THEN minhash END) AS h0,
+         MIN(CASE WHEN seed % 2 = 1 THEN minhash END) AS h1
+  FROM sig GROUP BY 1, 2),
+grp AS (SELECT band, h0, h1, MIN(doc_id) AS grp_rep FROM bands GROUP BY 1, 2, 3)
+SELECT b.doc_id, MIN(g.grp_rep) AS rep_id,
+       (b.doc_id > MIN(g.grp_rep)) AS is_dup
+FROM bands b JOIN grp g ON b.band = g.band AND b.h0 = g.h0 AND b.h1 = g.h1
+GROUP BY b.doc_id
+"""
+
+
+# -- SimHash (32-bit, token-vote) -----------------------------------------------------------
+def q_simhash_docs(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    ).where(F.col("tok") != "")
+    hashed = tok.withColumn("th", F.expr(_md5long("tok")))
+    bits = hashed.withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(31))))
+    votes = bits.groupBy("doc_id", "b").agg(
+        F.sum(
+            F.expr("2 * cast(shiftright(th, b) & 1 as bigint) - 1")
+        ).alias("vote")
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("vote") > 0, F.expr("shiftleft(cast(1 as bigint), b)")).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+SQL_SIMHASH = f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+  WHERE tok <> ''),
+hashed AS (SELECT doc_id, {_md5long_duck('tok')} AS th FROM tok),
+bits AS (SELECT doc_id, th, unnest(range(0, 32)) AS b FROM hashed),
+votes AS (
+  SELECT doc_id, b, SUM(2 * CAST((th >> CAST(b AS INT)) & 1 AS BIGINT) - 1) AS vote
+  FROM bits GROUP BY doc_id, b)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+# -- multimodal plumbing: binary payload stats ------------------------------------------------
+def q_binary_payload_stats(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    d = d.withColumn("payload", F.encode("text", "UTF-8"))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.octet_length("payload").cast("long")).alias("sum_bytes"),
+        F.max(F.octet_length("payload").cast("long")).alias("max_bytes"),
+    )
+
+
+SQL_BINSTATS = """
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
+       CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
+FROM documents GROUP BY source
+"""
+
+
+# -- Bloom build over grouped-map pandas UDF (O4's applyInPandas surface) ---------------------
+def q_bloom_build_stats(spark, sf_dir):
+    from monocator_spark import spec
+    from monocator_spark.operators.dedup import build_shards
+
+    cfg = spec.CrawlConfig(n_images=1, n_hosts=1)
+    d = T(spark, sf_dir, "documents")
+    hashes = d.select(F.expr(_md5long("text")).alias("url_hash"))
+    return build_shards(hashes, cfg).select("shard", "n_inserted")
+
+
+SQL_BLOOM = f"""
+SELECT CAST(({_md5long_duck('text')} & 31) AS INT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_inserted
+FROM documents GROUP BY 1
+"""
+
+
+# -- multimodal decode stub via mapInPandas (real plumbing, stubbed codec) --------------------
+def q_multimodal_decode_stub(spark, sf_dir):
+    """Image/audio decode stub: payload is an opaque binary column; the
+    'decode' extracts deterministic metadata (real libs absent — brief says
+    stub the codec, keep schema/partitioning/batch shape real)."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+
+    def decode_batches(it):
+        for pdf in it:
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": pdf["payload"].map(len).astype(np.int64),
+                    "first_byte": pdf["payload"].map(lambda b: int(b[0])).astype(np.int64),
+                }
+            )
+            yield out
+
+    return d.mapInPandas(decode_batches, "doc_id long, byte_len long, first_byte long")
+
+
+SQL_DECODE_STUB = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte
+FROM documents
+"""
+
+
+TEXTOPS = {
+    "token_count": (q_token_count, SQL_TOKENS),
+    "exact_dedup_docs": (q_exact_dedup_docs, SQL_EXACT_DEDUP),
+    "quality_score": (q_quality_score, SQL_QUALITY),
+    "langid_markers": (q_langid_markers, SQL_LANGID),
+    "fingerprint_doc": (q_fingerprint_doc, SQL_FINGERPRINT),
+    "shingle_jaccard_pairs": (q_shingle_jaccard_pairs, SQL_JACCARD),
+    "minhash_signature": (q_minhash_signature, SQL_MINHASH),
+    "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_LSH),
+    "minhash_dedup_groups": (q_minhash_dedup_groups, SQL_DEDUP_GROUPS),
+    "simhash_docs": (q_simhash_docs, SQL_SIMHASH),
+    "binary_payload_stats": (q_binary_payload_stats, SQL_BINSTATS),
+    "bloom_build_stats": (q_bloom_build_stats, SQL_BLOOM),
+    "multimodal_decode_stub": (q_multimodal_decode_stub, SQL_DECODE_STUB),
+}
