@@ -114,10 +114,46 @@ def merge_shards(existing: DataFrame | None, delta: DataFrame, cfg: spec.CrawlCo
     return both.groupBy("shard").applyInPandas(orm, BLOOM_SCHEMA)
 
 
+# Above this total filter size the bits stay sharded on executors (cogroup
+# probe); below it they ride a task broadcast into a scalar pandas UDF —
+# zero extra shuffles. 10^10-URL blooms (~GBs) take the cogroup path; the
+# threshold is generous because the closure ships once per executor.
+BROADCAST_PROBE_MAX_BYTES = 64 << 20
+
+
+def _broadcast_probe(cands: DataFrame, shards: list, cfg: spec.CrawlConfig) -> DataFrame:
+    """Probe via a scalar pandas UDF over a (shard, bytes) matrix captured in
+    the closure — vectorized 2D numpy indexing, no shuffle, no join."""
+    from pyspark.sql.types import BooleanType
+
+    m, k, n_shards = cfg.bloom_bits_per_shard, cfg.bloom_num_hashes, cfg.bloom_shards
+    mat = np.zeros((n_shards, m // 8), dtype=np.uint8)
+    for r in shards:
+        mat[int(r["shard"])] = np.frombuffer(r["bits"], dtype=np.uint8)
+
+    def probe(url_hash: pd.Series) -> pd.Series:
+        h = url_hash.to_numpy(dtype=np.int64)
+        shard = (h & (n_shards - 1)).astype(np.int64)
+        pos = _positions(h, m, k)
+        got = (mat[shard[:, None], pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
+        return pd.Series(got.all(axis=1))
+
+    return cands.withColumn(
+        "maybe_seen", F.pandas_udf(probe, BooleanType())("url_hash")
+    )
+
+
 def bloom_prefilter(cands: DataFrame, bloom: DataFrame | None, cfg: spec.CrawlConfig) -> DataFrame:
-    """Tag candidates with maybe_seen via a cogrouped per-shard probe."""
+    """Tag candidates with maybe_seen.
+
+    Small filters (≤ BROADCAST_PROBE_MAX_BYTES total) are probed via a
+    broadcast scalar UDF; larger ones via the cogrouped per-shard path.
+    """
     if bloom is None:
         return cands.withColumn("maybe_seen", F.lit(True))
+
+    if cfg.bloom_shards * (cfg.bloom_bits_per_shard // 8) <= BROADCAST_PROBE_MAX_BYTES:
+        return _broadcast_probe(cands, bloom.collect(), cfg)
 
     from pyspark.sql.types import BooleanType
 

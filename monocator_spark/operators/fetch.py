@@ -70,17 +70,34 @@ def make_validate_udf(cfg: spec.CrawlConfig):
     return F.pandas_udf(validate, IntegerType())
 
 
-def fetch_wave(wave: DataFrame, corpus: DataFrame, cfg: spec.CrawlConfig) -> DataFrame:
+def fetch_wave(
+    wave: DataFrame,
+    corpus: DataFrame,
+    cfg: spec.CrawlConfig,
+    persisted: list | None = None,
+) -> DataFrame:
     """wave ⟕ corpus on image_id + validation status column.
 
     An outer join can't broadcast its preserved side, so the left join is
-    decomposed: (1) INNER join with the bounded wave broadcast — the 100 TB
-    corpus is never shuffled and the scan is pruned by the broadcast hash
-    join; (2) misses (404s) recovered with a second broadcast anti-join
-    against the hit keys. Both broadcasts are ≤ wave_size rows.
+    decomposed around two corpus reads that are each as cheap as possible:
+
+    * hits — INNER join with the bounded wave broadcast; the 100 TB corpus
+      is never shuffled, and this payload-bearing scan is consumed exactly
+      once (by the caller's persist of the validated result), so the
+      ``bytes`` column never sits in an extra cache tier.
+    * misses (404s) — LEFT ANTI join of the wave against the hit keys.
+      Column pruning cuts the hit-key subplan to the corpus key column only
+      (parquet reads ~0.1% of the table; never the payload), and the
+      resulting broadcast is ≤ wave_size rows — nothing scales with the
+      corpus. (Deliberately NOT persisted: caching the hit rows would
+      force a full-width 'bytes' materialization that defeats pruning.)
+
+    Validation (the decode/PSNR/caption pandas UDF) runs only on hit rows;
+    misses are MISSING by construction and never cross the Arrow boundary.
     """
     keyed = wave.withColumn("image_id", F.substring_index("url_norm", "/", -1))
-    hit = corpus.join(F.broadcast(keyed), "image_id", "inner")
+    bkeyed = F.broadcast(keyed)
+    hit = corpus.join(bkeyed, "image_id", "inner")
     miss = keyed.join(
         F.broadcast(hit.select("image_id")), "image_id", "left_anti"
     ).select(
@@ -93,9 +110,11 @@ def fetch_wave(wave: DataFrame, corpus: DataFrame, cfg: spec.CrawlConfig) -> Dat
         F.lit(None).cast("long").alias("phash"),
         *[c for c in keyed.columns if c != "image_id"],
     )
-    joined = hit.unionByName(miss)
     validate_udf = make_validate_udf(cfg)
-    return joined.withColumn(
+    validated_hit = hit.withColumn(
         "status",
         validate_udf("image_id", "bytes", "w", "h", "caption", "phash"),
+    )
+    return validated_hit.unionByName(
+        miss.withColumn("status", F.lit(MISSING).cast("int"))
     )

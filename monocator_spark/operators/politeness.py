@@ -53,7 +53,16 @@ def gate(pending: DataFrame, host_state: DataFrame, cfg: spec.CrawlConfig) -> tu
     return schedulable, denied
 
 
-def select_wave(schedulable: DataFrame, cfg: spec.CrawlConfig) -> DataFrame:
+# Waves larger than this use the range-partitioned distributed rank; below
+# it the single-partition window is cheaper (and is what the unit fixtures
+# exercise). Both paths produce identical rows — pinned by
+# tests/test_wave_paths.py.
+DISTRIBUTED_RANK_MIN_WAVE = 20_000
+
+
+def select_wave(
+    schedulable: DataFrame, cfg: spec.CrawlConfig, persisted: list | None = None
+) -> DataFrame:
     """Per-host top-quota, then global (priority DESC, url_hash ASC) cap.
 
     Phase 1 ranks within (host, salt) — any row in a host's true top-q is in
@@ -79,7 +88,72 @@ def select_wave(schedulable: DataFrame, cfg: spec.CrawlConfig) -> DataFrame:
         .where(F.col("rn2") <= F.col("quota"))
         .drop("rn2", "quota")
     )
+    if cfg.wave_size >= DISTRIBUTED_RANK_MIN_WAVE:
+        return _ranked_distributed(quota_rows, cfg.wave_size, persisted)
     wave = quota_rows.orderBy(*order).limit(cfg.wave_size)
     return wave.withColumn(
         "wave_pos", F.row_number().over(Window.orderBy(*order)) - 1
     )
+
+
+def _ranked_distributed(
+    quota_rows: DataFrame, wave_size: int, persisted: list | None = None
+) -> DataFrame:
+    """Global rank + cap without a single-partition sort.
+
+    ``orderBy().limit(n)`` for a large n falls back to a total sort whose
+    global-limit (and the wave_pos window after it) funnels every row
+    through one partition. Instead: range-partition on the total order,
+    sort within partitions, then assign
+    ``wave_pos = partition_offset + local index`` via ``mapInPandas`` —
+    offsets come from one tiny per-partition count job. The global rank is
+    exact for ANY range boundaries, so the sampled boundary placement and
+    the parallelism level never affect the result rows, only which
+    partition ranks them — determinism across local[8]/local[32] is
+    preserved (BENCH gate).
+    """
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    order = [F.col("priority").desc(), F.col("url_hash").asc()]
+    spark = quota_rows.sparkSession
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    part = (
+        quota_rows.repartitionByRange(parts, *order)
+        .sortWithinPartitions(*order)
+        .cache()
+    )
+    if persisted is not None:
+        persisted.append(part)
+    counts = (
+        part.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    offsets = np.zeros(parts + 1, dtype=np.int64)
+    for r in counts:
+        offsets[r["pid"] + 1] = r["count"]
+    offsets_list = np.cumsum(offsets).tolist()
+
+    # fresh StructType — StructType.add would mutate the DataFrame's own
+    # cached schema object and corrupt self.columns
+    out_schema = StructType(
+        list(part.schema.fields) + [StructField("wave_pos", LongType())]
+    )
+    cols = [f.name for f in out_schema.fields]
+
+    def assign(it):
+        from pyspark import TaskContext
+
+        base = offsets_list[TaskContext.get().partitionId()]
+        done = 0
+        for pdf in it:
+            n = len(pdf)
+            pdf = pdf.copy()
+            pdf["wave_pos"] = np.arange(base + done, base + done + n, dtype=np.int64)
+            done += n
+            yield pdf[cols]
+
+    ranked = part.mapInPandas(assign, out_schema)
+    return ranked.where(F.col("wave_pos") < wave_size)

@@ -36,6 +36,12 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    ev_dir = os.environ.get("SPARK_EVENTLOG_DIR")
+    if ev_dir:
+        os.makedirs(ev_dir, exist_ok=True)
+        b = b.config("spark.eventLog.enabled", "true").config(
+            "spark.eventLog.dir", ev_dir
+        )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

@@ -29,16 +29,22 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
 
 class SnapshotStore:
+    """Thread-safe: independent tables may be staged concurrently within an
+    epoch (the epoch pipeline flushes them from a thread pool); the commit
+    point is still the single manifest rename."""
+
     def __init__(self, root: str):
         self.root = root
         os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)
         self._staged: dict[str, dict] = {}  # table -> {"mode": .., "dir": ..}
+        self._lock = threading.Lock()
 
     # -- manifest bookkeeping -------------------------------------------------
     def _manifest_path(self, epoch: int) -> str:
@@ -65,13 +71,31 @@ class SnapshotStore:
     def stage_append(self, table: str, df: DataFrame, epoch: int) -> None:
         d = self._stage_dir(table, epoch)
         df.write.mode("overwrite").parquet(d)
-        self._staged.setdefault(table, {"mode": "append", "dirs": []})
-        self._staged[table]["dirs"].append(d)
+        with self._lock:
+            self._staged.setdefault(table, {"mode": "append", "dirs": []})
+            self._staged[table]["dirs"].append(d)
 
     def stage_overwrite(self, table: str, df: DataFrame, epoch: int) -> None:
         d = self._stage_dir(table, epoch)
         df.write.mode("overwrite").parquet(d)
-        self._staged[table] = {"mode": "overwrite", "dirs": [d]}
+        with self._lock:
+            self._staged[table] = {"mode": "overwrite", "dirs": [d]}
+
+    def stage_append_local(self, table: str, rows: list[dict], schema, epoch: int) -> None:
+        """Append a tiny driver-side table (e.g. the 1-row epoch metrics)
+        without launching a Spark job: pyarrow writes the parquet file
+        directly. ``schema`` is a pyarrow schema so the file reads back
+        into Spark with exactly the intended types."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = self._stage_dir(table, epoch)
+        os.makedirs(d, exist_ok=True)
+        tbl = pa.Table.from_pylist(rows, schema=schema)
+        pq.write_table(tbl, os.path.join(d, "part-00000.parquet"))
+        with self._lock:
+            self._staged.setdefault(table, {"mode": "append", "dirs": []})
+            self._staged[table]["dirs"].append(d)
 
     def commit(self, epoch: int, meta: dict | None = None) -> None:
         """Atomically publish all staged writes as epoch ``epoch``."""

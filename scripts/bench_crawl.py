@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Run the crawl engine on a pre-generated world and report throughput.
+
+The north-rule metric: URLs scheduled+fetched/sec on a synthetic frontier
+(seed-list replay), BASELINE.json:2. One invocation = one parallelism level;
+``scripts/run_scaling.py`` invokes this twice (fresh JVM each) and checks
+byte-identical outputs + scaling efficiency.
+
+Determinism evidence emitted per run: order_checksum — an order-insensitive
+sum of xxhash64(epoch, wave_pos, url_hash) over the full crawl-order table,
+so it pins every URL to its exact global wave position — and seen_checksum
+over the URL-seen set. Identical checksums across parallelism levels ⇒
+identical crawl order and seen set.
+
+Also usable under spark-submit for cluster packaging (north_rule:
+"spark-submit --py-files"):
+    spark-submit --py-files dist/monocator_spark.zip \
+        scripts/bench_crawl.py --cluster --world ... --out ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--world", required=True)
+    ap.add_argument("--cores", type=int, default=32)
+    ap.add_argument("--wave-size", type=int, default=150_000)
+    ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--per-host-quota", type=int, default=8)
+    ap.add_argument("--salt", type=int, default=16)
+    ap.add_argument("--store", default=None, help="store dir (default: tmp)")
+    ap.add_argument("--warmup", action="store_true", help="untimed warmup epoch first")
+    ap.add_argument("--out", default=None, help="write JSON here as well as stdout")
+    ap.add_argument(
+        "--cluster",
+        action="store_true",
+        help="don't set master/cores in-process; inherit from spark-submit",
+    )
+    args = ap.parse_args()
+
+    with open(os.path.join(args.world, "_WORLD_META.json")) as f:
+        meta = json.load(f)
+
+    from pyspark.sql import functions as F
+
+    from monocator_spark import spec
+    from monocator_spark.plans.epoch import CrawlEngine
+    from monocator_spark.sources.store import SnapshotStore
+
+    if args.cluster:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.appName("bench-crawl").getOrCreate()
+        cores = spark.sparkContext.defaultParallelism
+    else:
+        from monocator_spark.session import get_spark
+
+        cores = args.cores
+        spark = get_spark("bench-crawl", cores=cores, shuffle_partitions=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    store_dir = args.store or f"/tmp/mono_bench_store_c{cores}"
+    shutil.rmtree(store_dir, ignore_errors=True)
+
+    cfg = spec.CrawlConfig(
+        n_images=meta["n_images"],
+        n_hosts=meta["n_hosts"],
+        wave_size=args.wave_size,
+        per_host_quota=args.per_host_quota,
+        salt_per_host=args.salt,
+    )
+    engine = CrawlEngine(spark, SnapshotStore(store_dir), args.world, cfg)
+
+    if args.warmup:
+        # untimed warmup: same world, same code paths (canonicalize/validate
+        # UDFs, distributed rank, bloom probe, parquet writes) into a
+        # throwaway store — excludes JVM/codegen/Python-worker startup from
+        # the measured steady-state throughput at BOTH parallelism levels.
+        wstore = store_dir + "_warmup"
+        shutil.rmtree(wstore, ignore_errors=True)
+        wcfg = spec.CrawlConfig(
+            n_images=meta["n_images"],
+            n_hosts=meta["n_hosts"],
+            wave_size=max(20_000, args.wave_size // 8),
+            per_host_quota=args.per_host_quota,
+            salt_per_host=args.salt,
+        )
+        CrawlEngine(spark, SnapshotStore(wstore), args.world, wcfg).run(max_epochs=1)
+        shutil.rmtree(wstore, ignore_errors=True)
+
+    t0 = time.monotonic()
+    stats = engine.run(max_epochs=args.epochs)
+    elapsed = time.monotonic() - t0
+
+    order = engine.order_df()
+    order_checksum = order.select(
+        F.expr("bit_xor(xxhash64(epoch, wave_pos, url_hash))").alias("c")
+    ).collect()[0]["c"]
+    seen = engine.seen_df()
+    seen_row = seen.select(
+        F.expr("bit_xor(xxhash64(url_hash))").alias("c"), F.count("*").alias("n")
+    ).collect()[0]
+
+    work = stats.scheduled + stats.fetched
+    result = {
+        "cores": cores,
+        "shuffle_partitions": int(spark.conf.get("spark.sql.shuffle.partitions")),
+        "epochs": stats.epochs,
+        "scheduled": stats.scheduled,
+        "fetched": stats.fetched,
+        "failed": stats.failed,
+        "elapsed_sec": round(elapsed, 2),
+        "urls_per_sec": round(work / elapsed, 1),
+        "order_checksum": int(order_checksum),
+        "seen_checksum": int(seen_row["c"]),
+        "seen_count": int(seen_row["n"]),
+        "wave_size": args.wave_size,
+        "per_host_quota": args.per_host_quota,
+        "salt_per_host": args.salt,
+        "world": meta,
+        "per_epoch": stats.per_epoch,
+    }
+    line = json.dumps(result)
+    print(line)
+    if args.out:
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""N-vs-4N scaling evidence (BASELINE.json north_rule, sandbox protocol).
+
+A real multi-executor cluster is unavailable here, so per the driver
+instruction the two-cluster-size criterion is evidenced by running the
+IDENTICAL crawl job on the IDENTICAL world at two parallelism levels
+(local[N] and local[4N]), each in a fresh JVM via subprocess, then:
+
+  * asserting the crawl order + URL-seen checksums are byte-identical
+    (determinism is part of the gate), and
+  * reporting throughput at both + efficiency = Thr_4N / (4 · Thr_N),
+    target ≥ 0.8, into BENCH/results_scaling.json + BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def run_level(args: argparse.Namespace, cores: int) -> dict:
+    out = REPO / "BENCH" / f"crawl_c{cores}.json"
+    cmd = [
+        sys.executable, str(REPO / "scripts" / "bench_crawl.py"),
+        "--world", args.world, "--cores", str(cores),
+        "--wave-size", str(args.wave_size), "--epochs", str(args.epochs),
+        "--per-host-quota", str(args.per_host_quota), "--salt", str(args.salt),
+        "--warmup", "--out", str(out),
+    ]
+    print(f"--- running cores={cores}: {' '.join(cmd)}", flush=True)
+    subprocess.run(cmd, check=True)
+    with open(out) as f:
+        return json.load(f)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--world", default="/tmp/mono_bench_world")
+    ap.add_argument("--images", type=int, default=1_000_000)
+    ap.add_argument("--hosts", type=int, default=50_000)
+    ap.add_argument("--seeds", type=int, default=1_500_000)
+    ap.add_argument("--dup-frac", type=float, default=0.2)
+    ap.add_argument("--n-small", type=int, default=8)
+    ap.add_argument("--n-large", type=int, default=32)
+    ap.add_argument("--wave-size", type=int, default=150_000)
+    ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--per-host-quota", type=int, default=8)
+    ap.add_argument("--salt", type=int, default=16)
+    args = ap.parse_args()
+
+    from scripts.gen_world import ensure_world
+
+    meta = ensure_world(
+        args.world,
+        {
+            "n_images": args.images,
+            "n_hosts": args.hosts,
+            "n_seeds": args.seeds,
+            "dup_frac": args.dup_frac,
+        },
+    )
+    print(f"world ready: {meta}", flush=True)
+
+    small = run_level(args, args.n_small)
+    large = run_level(args, args.n_large)
+
+    det_ok = (
+        small["order_checksum"] == large["order_checksum"]
+        and small["seen_checksum"] == large["seen_checksum"]
+        and small["seen_count"] == large["seen_count"]
+    )
+    ratio = args.n_large / args.n_small
+    eff = large["urls_per_sec"] / (ratio * small["urls_per_sec"])
+    summary = {
+        "metric": "urls_scheduled_plus_fetched_per_sec",
+        "deterministic_across_levels": det_ok,
+        "n_small": args.n_small,
+        "n_large": args.n_large,
+        "thr_small": small["urls_per_sec"],
+        "thr_large": large["urls_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": bool(det_ok and eff >= 0.8),
+        "small": small,
+        "large": large,
+    }
+    (REPO / "BENCH").mkdir(exist_ok=True)
+    with open(REPO / "BENCH" / "results_scaling.json", "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps({k: summary[k] for k in (
+        "deterministic_across_levels", "thr_small", "thr_large",
+        "scaling_efficiency", "pass")}))
+
+
+if __name__ == "__main__":
+    main()
