@@ -118,6 +118,30 @@ def _host_batches_factory(n_images: int):
     return gen
 
 
+CORPUS_BUCKETS = 64
+
+
+def register_bucketed_corpus(spark: SparkSession, out_dir: str, name: str = "corpus_bucketed") -> str:
+    """(Re-)register the bucketed corpus files as a session table.
+
+    Bucket metadata lives in the session catalog, so each new SparkSession
+    re-declares the (identical) layout over the existing files.
+    """
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(
+        f"""
+        CREATE TABLE {name} (
+            image_id STRING, bytes BINARY, w INT, h INT,
+            fmt STRING, caption STRING, phash BIGINT
+        )
+        USING parquet
+        CLUSTERED BY (image_id) SORTED BY (image_id) INTO {CORPUS_BUCKETS} BUCKETS
+        LOCATION '{out_dir}/corpus_bucketed'
+        """
+    )
+    return name
+
+
 def write_world_distributed(
     spark: SparkSession,
     out_dir: str,
@@ -127,16 +151,36 @@ def write_world_distributed(
     n_seeds: int,
     dup_frac: float = 0.2,
     partitions: int | None = None,
+    bucket_corpus: bool = False,
 ) -> None:
-    """Materialize corpus/seeds/host_state as parquet, generated on executors."""
+    """Materialize corpus/seeds/host_state as parquet, generated on executors.
+
+    With ``bucket_corpus`` the corpus is ALSO written as a bucketed+sorted
+    table (``corpus_bucketed``): the fetch join then shuffles only the wave
+    into the corpus's bucketing — no corpus shuffle, no corpus sort, and no
+    driver-side broadcast build per epoch. That is the 100 TB-scale layout:
+    you bucket the crawl target store once at ingest.
+    """
     p = partitions or max(32, spark.sparkContext.defaultParallelism)
 
-    (
-        spark.range(n_images, numPartitions=p)
-        .mapInPandas(_corpus_batches, CORPUS_SCHEMA)
-        .write.mode("overwrite")
-        .parquet(f"{out_dir}/corpus")
+    corpus_src = spark.range(n_images, numPartitions=p).mapInPandas(
+        _corpus_batches, CORPUS_SCHEMA
     )
+    corpus_src.write.mode("overwrite").parquet(f"{out_dir}/corpus")
+    if bucket_corpus:
+        import shutil
+
+        shutil.rmtree(f"{out_dir}/corpus_bucketed", ignore_errors=True)
+        spark.sql("DROP TABLE IF EXISTS corpus_bucketed")
+        (
+            spark.read.parquet(f"{out_dir}/corpus")
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(CORPUS_BUCKETS, "image_id")
+            .sortBy("image_id")
+            .option("path", f"{out_dir}/corpus_bucketed")
+            .saveAsTable("corpus_bucketed")
+        )
     (
         spark.range(n_seeds, numPartitions=max(8, p // 4))
         .mapInPandas(

@@ -118,3 +118,24 @@ def fetch_wave(
     return validated_hit.unionByName(
         miss.withColumn("status", F.lit(MISSING).cast("int"))
     )
+
+
+def fetch_wave_bucketed(
+    wave: DataFrame, corpus_tbl: DataFrame, cfg: spec.CrawlConfig
+) -> DataFrame:
+    """Fetch against a bucketed+sorted corpus table — the at-scale layout.
+
+    One LEFT OUTER sort-merge join: the corpus side needs neither shuffle
+    nor sort (bucketed + sortBy(image_id) at write), only the bounded wave
+    is shuffled into the corpus's bucketing. No driver-side broadcast build
+    at all — every byte of epoch-critical-path work is executor-parallel.
+    Misses surface as null corpus columns; the validation UDF maps a null
+    payload to MISSING, so hit/miss needs no second join.
+    """
+    keyed = wave.withColumn("image_id", F.substring_index("url_norm", "/", -1))
+    joined = keyed.join(corpus_tbl, "image_id", "left")
+    validate_udf = make_validate_udf(cfg)
+    return joined.withColumn(
+        "status",
+        validate_udf("image_id", "bytes", "w", "h", "caption", "phash"),
+    )

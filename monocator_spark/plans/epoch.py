@@ -40,8 +40,12 @@ FRONTIER_SCHEMA = StructType(
         StructField("priority", DoubleType()),
         StructField("depth", IntegerType()),
         StructField("retries", IntegerType()),
+        StructField("quota", IntegerType()),
     ]
 )
+
+# frontier rows carry their (static) per-host quota from enqueue-time gating
+FRONTIER_COLS_Q = [*enqueue.FRONTIER_COLS, "quota"]
 
 
 @dataclass
@@ -66,27 +70,65 @@ class CrawlEngine:
         self.store = store
         self.world_dir = world_dir
         self.cfg = cfg
-        self.corpus = spark.read.parquet(f"{world_dir}/corpus")
-        # host_state is O(hosts) — tiny next to the frontier; cache + broadcast
+        # prefer the bucketed corpus layout when the world provides it: the
+        # fetch join then shuffles only the wave (see fetch_wave_bucketed)
+        import os
+
+        self.corpus_bucketed = os.path.isdir(f"{world_dir}/corpus_bucketed")
+        if self.corpus_bucketed:
+            from monocator_spark.datagen.distributed import register_bucketed_corpus
+
+            self.corpus = spark.table(register_bucketed_corpus(spark, world_dir))
+        else:
+            self.corpus = spark.read.parquet(f"{world_dir}/corpus")
+        # host_state is O(hosts) — tiny next to the frontier; cached (joined
+        # only against enqueue batches, never the whole frontier)
         self.host_state = spark.read.parquet(f"{world_dir}/host_state").cache()
 
     # -- bootstrap -------------------------------------------------------------
     def bootstrap(self) -> None:
-        """Epoch-0 commit: seeds → frontier, seen set, Bloom shards."""
+        """Epoch-0 commit: seeds → gate → frontier, seen set, Bloom shards.
+
+        The robots/blacklist/budget gate runs HERE (once per URL), so the
+        frontier only ever holds schedulable rows with their quota attached
+        — no per-epoch re-gating of the whole frontier. Denied seeds are
+        recorded at epoch 0, exactly when the reference simulator's first
+        gate pass denies them.
+        """
         seeds = self.spark.read.parquet(f"{self.world_dir}/seeds").withColumn(
             "depth", F.lit(0)
         )
-        frontier = enqueue.dedup_within_batch(enqueue.prepare_candidates(seeds)).cache()
-        seen = frontier.select("url_hash", "url_norm")
-        bloom = dedup.build_shards(frontier.select("url_hash"), self.cfg)
-        self.store.stage_overwrite("frontier", frontier, 0)
+        cands = enqueue.dedup_within_batch(enqueue.prepare_candidates(seeds)).cache()
+        admitted, denied = politeness.gate(cands, self.host_state, self.cfg)
+        seen = cands.select("url_hash", "url_norm")
+        bloom = dedup.build_shards(cands.select("url_hash"), self.cfg)
+        self.store.stage_overwrite("frontier", admitted.select(*FRONTIER_COLS_Q), 0)
         self.store.stage_append("seen", seen, 0)
+        self.store.stage_append("denied", denied.withColumn("epoch", F.lit(0)), 0)
         self.store.stage_overwrite("bloom", dedup.merge_shards(None, bloom, self.cfg), 0)
         self.store.commit(0, {"crawl_epoch": -1})
-        frontier.unpersist()
+        cands.unpersist()
 
-    # -- one epoch ---------------------------------------------------------------
-    def run_epoch(self, epoch: int) -> dict:
+    # -- one epoch, two pipelined phases ----------------------------------------
+    #
+    # _phase1 = the epoch's heavy COMPUTE: wave selection, fetch+validate,
+    #   outlink dedup+gate, next-frontier — everything materialized into
+    #   caches, zero table writes.
+    # _phase2 = the epoch's FLUSH: all table writes + counts from those
+    #   caches (concurrent jobs), then the atomic manifest commit.
+    #
+    # run() overlaps _phase2(k) with _phase1(k+1): _phase2 stages the three
+    # STATE tables (frontier / seen / bloom) first and signals
+    # ``state_ready``; epoch k+1 then reads that staged state (via
+    # SnapshotStore.preview — fresh parquet reads, so logical plans never
+    # chain across epochs) while epoch k's heavy output flushes (the
+    # bytes-bearing `fetched` table) and its commit still run in the
+    # background. A single ordered flusher thread guarantees commits land
+    # strictly in epoch order — a kill at ANY point resumes exactly from
+    # the last committed manifest. This is the async-checkpoint pattern a
+    # cluster deployment would use with Iceberg commits.
+
+    def _phase1(self, epoch: int, state_ready) -> dict | None:
         import os
 
         timing: dict[str, float] = {}
@@ -100,33 +142,31 @@ class CrawlEngine:
                 _last[0] = now
 
         cfg = self.cfg
-        # every cached df created this epoch lands here; released in finally
-        persisted: list = []
-        pending = self.store.load(self.spark, "frontier").cache()
+        persisted: list = []  # this epoch's caches; released by its _phase2
+        if state_ready is not None:
+            state_ready.wait()  # previous epoch's state tables staged
+        pending = self.store.preview(self.spark, "frontier").cache()
         persisted.append(pending)
-        seen = self.store.load(self.spark, "seen")
-        bloom = self.store.load(self.spark, "bloom")
+        seen = self.store.preview(self.spark, "seen")
+        bloom = self.store.preview(self.spark, "bloom")
 
-        schedulable, denied = politeness.gate(pending, self.host_state, cfg)
-        # schedulable feeds both the wave selection and the next-frontier
-        # anti-join; caching avoids re-running the robots gate scan twice.
-        schedulable = schedulable.cache()
-        persisted.append(schedulable)
-        wave = politeness.select_wave(schedulable, cfg, persisted).cache()
+        # the frontier is pre-gated at enqueue time (quota on every row):
+        # the whole of pending is schedulable by construction
+        wave = politeness.select_wave(pending, cfg, persisted).cache()
         persisted.append(wave)
         n_wave = wave.count()
         _mark("wave_select")
         if n_wave == 0:
             for df in persisted:
                 df.unpersist()
-            return {"epoch": epoch, "scheduled": 0, "fetched": 0, "failed": 0,
-                    "frontier_size": 0}
+            return None
 
         t0 = time.monotonic()
-        fetched = fetch.fetch_wave(
-            wave.select(*enqueue.FRONTIER_COLS, "wave_pos"), self.corpus, cfg,
-            persisted,
-        ).persist()
+        wave_cols = wave.select(*FRONTIER_COLS_Q, "wave_pos")
+        if self.corpus_bucketed:
+            fetched = fetch.fetch_wave_bucketed(wave_cols, self.corpus, cfg).persist()
+        else:
+            fetched = fetch.fetch_wave(wave_cols, self.corpus, cfg, persisted).persist()
         persisted.append(fetched)
 
         ok = fetched.where(F.col("status") == OK)
@@ -136,7 +176,7 @@ class CrawlEngine:
             )
             .select(
                 "url_norm", "url_hash", "host", "priority", "depth",
-                (F.col("retries") + 1).alias("retries"),
+                (F.col("retries") + 1).alias("retries"), "quota",
             )
         )
         perm_failed = fetched.where(
@@ -144,8 +184,12 @@ class CrawlEngine:
             & ~((F.col("status") == MISSING) & (F.col("retries") < cfg.max_retries))
         ).select("url_hash", "url_norm", "status", F.lit(epoch).alias("epoch"))
 
-        # outlink discovery → shared enqueue path → dedup vs seen
-        new_entries = self.spark.createDataFrame([], FRONTIER_SCHEMA)
+        # outlink discovery → shared enqueue path → dedup vs seen → gate
+        new_entries = self.spark.createDataFrame(
+            [], FRONTIER_SCHEMA
+        ).drop("quota")
+        admitted = self.spark.createDataFrame([], FRONTIER_SCHEMA)
+        denied_new = None
         lineage = None
         if cfg.follow_outlinks:
             raw_links = outlinks.expand_outlinks(ok.select("url_norm", "depth"), cfg)
@@ -155,6 +199,9 @@ class CrawlEngine:
             persisted.append(cands)
             new_entries = dedup.filter_new(cands, seen, bloom, cfg).cache()
             persisted.append(new_entries)
+            # gate ONCE at enqueue; the simulator's gate would deny these
+            # rows at its epoch+1 pass, so stamp them accordingly
+            admitted, denied_new = politeness.gate(new_entries, self.host_state, cfg)
             # per-partition lineage: dedup hit rate by host bucket (O17)
             tagged = cands.join(
                 new_entries.select("url_hash", F.lit(1).alias("is_new")),
@@ -179,27 +226,63 @@ class CrawlEngine:
                 .withColumn("epoch", F.lit(epoch))
             )
 
-        # next frontier: schedulable minus this wave, plus retries, plus new
-        remaining = schedulable.select(*enqueue.FRONTIER_COLS).join(
+        # next frontier: pending minus this wave, plus retries, plus admitted
+        remaining = pending.select(*FRONTIER_COLS_Q).join(
             F.broadcast(wave.select("url_hash")), "url_hash", "left_anti"
         )
         next_frontier = remaining.unionByName(retry).unionByName(
-            new_entries.select(*enqueue.FRONTIER_COLS)
-        ).cache()  # materialized once: parquet write + frontier_size count
+            admitted.select(*FRONTIER_COLS_Q)
+        ).cache()
         persisted.append(next_frontier)
 
-        # ---- stage + atomically commit the epoch (O15) ----
-        # The frontier flush is run first: that single action materializes
-        # every persisted intermediate in its lineage (corpus fetch +
-        # validation, outlink dedup, the next frontier). The remaining table
-        # flushes and the counts are then independent reads of those caches,
-        # so they are submitted CONCURRENTLY — Spark schedules them as
-        # parallel jobs sharing the executor slots, which collapses the
-        # epoch's serial stage-latency tail (a large win at every scale; on
-        # a 1000-executor cluster these are parallel Iceberg table commits).
+        bloom_next = (
+            dedup.merge_shards(
+                bloom, dedup.build_shards(new_entries.select("url_hash"), cfg), cfg
+            )
+            if cfg.follow_outlinks
+            else bloom
+        )
+
+        # ONE action materializes the epoch's whole compute chain (fetch +
+        # validate + dedup + gate) into the caches above
+        frontier_size = next_frontier.count()
+        _mark("compute")
+
+        return {
+            "epoch": epoch, "t0": t0, "timing": timing, "n_wave": n_wave,
+            "frontier_size": frontier_size, "wave": wave, "fetched": fetched,
+            "ok": ok, "perm_failed": perm_failed, "new_entries": new_entries,
+            "denied_new": denied_new, "lineage": lineage,
+            "next_frontier": next_frontier, "bloom_next": bloom_next,
+            "persisted": persisted, "debug": _debug,
+        }
+
+    def _phase2(self, ctx: dict, state_ready=None) -> dict:
+        """Flush epoch k's tables from its caches, commit, release caches.
+
+        The STATE tables (frontier, seen, bloom) are staged first and
+        ``state_ready`` is signalled so epoch k+1's compute can start; the
+        heavy output flushes (bytes-bearing ``fetched``) and the commit
+        overlap it."""
+        cfg = self.cfg
         st = self.store
-        st.stage_overwrite("frontier", next_frontier, epoch + 1)
-        _mark("write_frontier")
+        epoch = ctx["epoch"]
+        wave, fetched = ctx["wave"], ctx["fetched"]
+        ok, perm_failed = ctx["ok"], ctx["perm_failed"]
+        new_entries, denied_new = ctx["new_entries"], ctx["denied_new"]
+        lineage = ctx["lineage"]
+        t_flush = time.monotonic()
+
+        st.stage_overwrite("frontier", ctx["next_frontier"], epoch + 1)
+        if cfg.follow_outlinks:
+            st.stage_append(
+                "seen", new_entries.select("url_hash", "url_norm"), epoch + 1
+            )
+            st.stage_overwrite("bloom", ctx["bloom_next"], epoch + 1)
+        if state_ready is not None:
+            state_ready.set()  # next epoch may now preview the staged state
+        if ctx["debug"]:
+            ctx["timing"]["state_flush"] = round(time.monotonic() - t_flush, 2)
 
         flushes: list = [
             lambda: st.stage_append(
@@ -218,29 +301,20 @@ class CrawlEngine:
                 epoch + 1,
             ),
             lambda: st.stage_append("failed", perm_failed, epoch + 1),
-            lambda: st.stage_append(
-                "denied", denied.withColumn("epoch", F.lit(epoch)), epoch + 1
-            ),
         ]
         if cfg.follow_outlinks:
-            flushes += [
+            flushes.append(
                 lambda: st.stage_append(
-                    "seen", new_entries.select("url_hash", "url_norm"), epoch + 1
-                ),
-                lambda: st.stage_overwrite(
-                    "bloom",
-                    dedup.merge_shards(
-                        bloom, dedup.build_shards(new_entries.select("url_hash"), cfg), cfg
-                    ),
+                    "denied",
+                    denied_new.withColumn("epoch", F.lit(epoch + 1)),
                     epoch + 1,
-                ),
-            ]
+                )
+            )
             if lineage is not None:
                 flushes.append(lambda: st.stage_append("lineage", lineage, epoch + 1))
         # counts ride the same pool: one job over the persisted fetch result
         status_counts: dict = {}
-        sizes: dict = {}
-        flushes += [
+        flushes.append(
             lambda: status_counts.update(
                 {
                     (r["status"], r["retries"]): r["n"]
@@ -248,9 +322,8 @@ class CrawlEngine:
                     .agg(F.count(F.lit(1)).alias("n"))
                     .collect()
                 }
-            ),
-            lambda: sizes.update(frontier=next_frontier.count()),
-        ]
+            )
+        )
         with ThreadPoolExecutor(max_workers=len(flushes)) as pool:
             for fut in [pool.submit(f) for f in flushes]:
                 fut.result()  # re-raise any failure before committing
@@ -260,15 +333,13 @@ class CrawlEngine:
             for (s, r), n in status_counts.items()
             if s != OK and not (s == MISSING and r < cfg.max_retries)
         )
-        frontier_size = sizes["frontier"]
-        _mark("parallel_flush")
         m = {
             "epoch": epoch,
-            "scheduled": n_wave,
+            "scheduled": ctx["n_wave"],
             "fetched": n_fetched,
             "failed": n_failed,
-            "frontier_size": frontier_size,
-            "elapsed_ms": int((time.monotonic() - t0) * 1000),
+            "frontier_size": ctx["frontier_size"],
+            "elapsed_ms": int((time.monotonic() - ctx["t0"]) * 1000),
         }
         import pyarrow as pa
 
@@ -288,25 +359,58 @@ class CrawlEngine:
             epoch + 1,
         )
         st.commit(epoch + 1, {"crawl_epoch": epoch})
-        _mark("metrics_commit")
-        if _debug:
-            m["timing"] = timing
-        for df in persisted:
-            df.unpersist(blocking=True)
+        if ctx["debug"]:
+            ctx["timing"]["flush_commit"] = round(time.monotonic() - t_flush, 2)
+            m["timing"] = ctx["timing"]
+        for df in ctx["persisted"]:
+            df.unpersist()
         return m
 
     # -- loop / resume -----------------------------------------------------------
     def run(self, max_epochs: int = 1000) -> RunStats:
-        """Run (or resume — the last committed manifest is the checkpoint)."""
+        """Run (or resume — the last committed manifest is the checkpoint).
+
+        Epochs are pipelined: epoch k's flush+commit (a single ordered
+        background thread) overlaps epoch k+1's compute. Commits still land
+        strictly in epoch order, so a kill at any moment resumes exactly.
+        """
+        import threading
+
         t0 = time.monotonic()
         if self.store.last_epoch() is None:
             self.bootstrap()
         start = self.store.meta()["crawl_epoch"] + 1
         stats = RunStats()
-        for epoch in range(start, start + max_epochs):
-            m = self.run_epoch(epoch)
-            if m["scheduled"] == 0:
-                break
+        abort = threading.Event()
+
+        def phase2_safe(ctx: dict, ev: threading.Event) -> dict:
+            try:
+                if abort.is_set():
+                    raise RuntimeError("skipped: earlier epoch flush failed")
+                return self._phase2(ctx, ev)
+            except BaseException:
+                abort.set()
+                raise
+            finally:
+                ev.set()  # never leave the main thread waiting
+
+        flusher = ThreadPoolExecutor(max_workers=1)
+        futures = []
+        prev_ev: threading.Event | None = None
+        try:
+            for epoch in range(start, start + max_epochs):
+                if abort.is_set():
+                    break
+                ctx = self._phase1(epoch, prev_ev)
+                if ctx is None:
+                    break
+                ev = threading.Event()
+                futures.append(flusher.submit(phase2_safe, ctx, ev))
+                prev_ev = ev
+        finally:
+            flusher.shutdown(wait=True)
+        for fut in futures:
+            m = fut.result()  # re-raises the first flush failure
             stats.epochs += 1
             stats.scheduled += m["scheduled"]
             stats.fetched += m["fetched"]

@@ -36,6 +36,10 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    # ad-hoc conf overrides for experiments: "k=v;k=v"
+    for kv in filter(None, os.environ.get("MONO_SPARK_CONF", "").split(";")):
+        k, _, v = kv.partition("=")
+        b = b.config(k.strip(), v.strip())
     ev_dir = os.environ.get("SPARK_EVENTLOG_DIR")
     if ev_dir:
         os.makedirs(ev_dir, exist_ok=True)

