@@ -73,9 +73,15 @@ def corpus_row(
     *,
     corrupt: bool = False,
     oversize: bool = False,
+    tiny: bool = False,
 ) -> dict:
+    """One corpus row. ``tiny`` pins every image to 32x32 — the
+    scheduler-bound bench regime (payload streaming kept below the memory
+    -bandwidth wall so scheduling scalability is what gets measured). All
+    derived values (phash, caption, fmt) stay consistent: validators read
+    w/h/fmt from the row, never from dims_of_image."""
     image_id = image_id_of(i)
-    w, h = dims_of_image(image_id)
+    w, h = (32, 32) if tiny else dims_of_image(image_id)
     fmt = fmt_of_image(image_id)
     px = pixels_for(image_id, w, h)
     data = encode(px, fmt)

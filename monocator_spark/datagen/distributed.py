@@ -62,10 +62,25 @@ HOST_STATE_SCHEMA = StructType(
 )
 
 
-def _corpus_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    from monocator_spark.datagen.corpus import corpus_row
+def _corpus_batches_factory(tiny: bool):
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from monocator_spark.datagen.corpus import corpus_row
 
+        for pdf in it:
+            rows = [corpus_row(int(i), tiny=tiny) for i in pdf["id"]]
+            out = pd.DataFrame(rows)
+            if len(out):
+                out["w"] = out["w"].astype(np.int32)
+                out["h"] = out["h"].astype(np.int32)
+                out["phash"] = out["phash"].astype(np.int64)
+            yield out
+
+    return gen
+
+
+def _corpus_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in it:
+        from monocator_spark.datagen.corpus import corpus_row
         rows = [corpus_row(int(i)) for i in pdf["id"]]
         out = pd.DataFrame(rows)
         if len(out):
@@ -152,6 +167,7 @@ def write_world_distributed(
     dup_frac: float = 0.2,
     partitions: int | None = None,
     bucket_corpus: bool = False,
+    tiny_images: bool = False,
 ) -> None:
     """Materialize corpus/seeds/host_state as parquet, generated on executors.
 
@@ -164,7 +180,7 @@ def write_world_distributed(
     p = partitions or max(32, spark.sparkContext.defaultParallelism)
 
     corpus_src = spark.range(n_images, numPartitions=p).mapInPandas(
-        _corpus_batches, CORPUS_SCHEMA
+        _corpus_batches_factory(tiny_images), CORPUS_SCHEMA
     )
     corpus_src.write.mode("overwrite").parquet(f"{out_dir}/corpus")
     if bucket_corpus:

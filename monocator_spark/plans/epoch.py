@@ -151,15 +151,13 @@ class CrawlEngine:
         bloom = self.store.preview(self.spark, "bloom")
 
         # the frontier is pre-gated at enqueue time (quota on every row):
-        # the whole of pending is schedulable by construction
+        # the whole of pending is schedulable by construction. The wave is
+        # NOT counted here — the single materialization action at the end
+        # of this phase pulls it through its cache, avoiding a serial
+        # barrier between wave selection and the fetch chain.
         wave = politeness.select_wave(pending, cfg, persisted).cache()
         persisted.append(wave)
-        n_wave = wave.count()
         _mark("wave_select")
-        if n_wave == 0:
-            for df in persisted:
-                df.unpersist()
-            return None
 
         t0 = time.monotonic()
         wave_cols = wave.select(*FRONTIER_COLS_Q, "wave_pos")
@@ -243,10 +241,15 @@ class CrawlEngine:
             else bloom
         )
 
-        # ONE action materializes the epoch's whole compute chain (fetch +
-        # validate + dedup + gate) into the caches above
+        # ONE action materializes the epoch's whole compute chain (wave
+        # rank + fetch + validate + dedup + gate) into the caches above
         frontier_size = next_frontier.count()
+        n_wave = wave.count()  # cache hit — no recompute
         _mark("compute")
+        if n_wave == 0:
+            for df in persisted:
+                df.unpersist()
+            return None
 
         return {
             "epoch": epoch, "t0": t0, "timing": timing, "n_wave": n_wave,

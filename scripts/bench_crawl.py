@@ -41,6 +41,7 @@ def main() -> None:
     ap.add_argument("--salt", type=int, default=16)
     ap.add_argument("--store", default=None, help="store dir (default: tmp)")
     ap.add_argument("--warmup", action="store_true", help="untimed warmup epoch first")
+    ap.add_argument("--keep-store", action="store_true", help="keep the crawl store on disk after the run")
     ap.add_argument("--out", default=None, help="write JSON here as well as stdout")
     ap.add_argument(
         "--cluster",
@@ -150,6 +151,8 @@ def main() -> None:
         with open(args.out, "w") as f:
             f.write(line + "\n")
     spark.stop()
+    if not args.keep_store:
+        shutil.rmtree(store_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -27,6 +27,7 @@ def world_meta(args: argparse.Namespace) -> dict:
         "n_seeds": args.seeds,
         "dup_frac": args.dup_frac,
         "bucket_corpus": bool(args.bucket),
+        "tiny_images": bool(args.tiny),
     }
 
 
@@ -51,6 +52,7 @@ def ensure_world(out_dir: str, meta: dict, cores: int = 32) -> dict:
         n_seeds=meta["n_seeds"],
         dup_frac=meta["dup_frac"],
         bucket_corpus=meta.get("bucket_corpus", False),
+        tiny_images=meta.get("tiny_images", False),
     )
     meta = dict(meta, gen_sec=round(time.monotonic() - t0, 1), gen_cores=cores)
     with open(mpath, "w") as f:
@@ -68,6 +70,7 @@ def main() -> None:
     ap.add_argument("--dup-frac", type=float, default=0.2)
     ap.add_argument("--cores", type=int, default=32)
     ap.add_argument("--bucket", action="store_true", help="also write bucketed corpus table")
+    ap.add_argument("--tiny", action="store_true", help="32x32 images only (scheduler-bound regime)")
     args = ap.parse_args()
     meta = ensure_world(args.out, world_meta(args), cores=args.cores)
     print(json.dumps(meta))

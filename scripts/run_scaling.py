@@ -89,6 +89,8 @@ def main() -> None:
                     help="repetitions per level; best run is reported")
     ap.add_argument("--no-bucket", action="store_true",
                     help="use the plain parquet corpus (broadcast fetch join)")
+    ap.add_argument("--tiny", action="store_true",
+                    help="32x32-image world (scheduler-bound regime)")
     args = ap.parse_args()
 
     from scripts.gen_world import ensure_world
@@ -101,6 +103,7 @@ def main() -> None:
             "n_seeds": args.seeds,
             "dup_frac": args.dup_frac,
             "bucket_corpus": not args.no_bucket,
+            "tiny_images": args.tiny,
         },
     )
     print(f"world ready: {meta}", flush=True)
