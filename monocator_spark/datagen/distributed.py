@@ -78,18 +78,6 @@ def _corpus_batches_factory(tiny: bool):
     return gen
 
 
-def _corpus_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in it:
-        from monocator_spark.datagen.corpus import corpus_row
-        rows = [corpus_row(int(i)) for i in pdf["id"]]
-        out = pd.DataFrame(rows)
-        if len(out):
-            out["w"] = out["w"].astype(np.int32)
-            out["h"] = out["h"].astype(np.int32)
-            out["phash"] = out["phash"].astype(np.int64)
-        yield out
-
-
 def _seed_batches_factory(n_seeds: int, n_images: int, n_hosts: int, dup_frac: float):
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from monocator_spark.datagen.corpus import apply_variant, url_of_image

@@ -157,9 +157,13 @@ def bloom_prefilter(cands: DataFrame, bloom: DataFrame | None, cfg: spec.CrawlCo
 
     from pyspark.sql.types import BooleanType
 
+    # the full candidate row rides through the cogroup — no join back to
+    # `cands` afterwards, which at scale would recompute the candidate
+    # lineage (canonicalizer UDF included) a second time per epoch
     out_schema = StructType(
-        [StructField("url_hash", LongType()), StructField("maybe_seen", BooleanType())]
+        list(cands.schema.fields) + [StructField("maybe_seen", BooleanType())]
     )
+    cand_cols = list(cands.columns)
 
     def probe(cand_pdf: pd.DataFrame, bloom_pdf: pd.DataFrame) -> pd.DataFrame:
         h = cand_pdf["url_hash"].to_numpy(dtype=np.int64)
@@ -167,15 +171,16 @@ def bloom_prefilter(cands: DataFrame, bloom: DataFrame | None, cfg: spec.CrawlCo
             maybe = np.zeros(len(h), dtype=bool)
         else:
             maybe = probe_hashes(h, bloom_pdf["bits"].iloc[0], cfg)
-        return pd.DataFrame({"url_hash": h, "maybe_seen": maybe})
+        out = cand_pdf[cand_cols].copy()
+        out["maybe_seen"] = maybe
+        return out
 
-    tagged = (
+    return (
         cands.withColumn("shard", shard_col("url_hash", cfg))
         .groupBy("shard")
         .cogroup(bloom.groupBy("shard"))
         .applyInPandas(probe, out_schema)
     )
-    return cands.join(tagged, "url_hash", "inner")
 
 
 def filter_new(

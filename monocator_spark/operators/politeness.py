@@ -99,8 +99,10 @@ def select_wave(
     if cfg.wave_size >= DISTRIBUTED_RANK_MIN_WAVE:
         return _ranked_distributed(quota_rows, cfg.wave_size, persisted)
     wave = quota_rows.orderBy(*order).limit(cfg.wave_size)
+    # long, matching _ranked_distributed — one wave_pos type in every
+    # parquet file regardless of which path a given config takes
     return wave.withColumn(
-        "wave_pos", F.row_number().over(Window.orderBy(*order)) - 1
+        "wave_pos", (F.row_number().over(Window.orderBy(*order)) - 1).cast("long")
     )
 
 
@@ -134,15 +136,17 @@ def _ranked_distributed(
         F.lit(n_buckets - 1),
         F.floor((F.lit(1.0) - F.col("priority")) * n_buckets),
     ).cast("int")
-    part = (
-        quota_rows.withColumn("_bkt", bucket)
-        .repartition(parts, F.col("_bkt"))
-        .sortWithinPartitions(
-            F.col("_bkt").asc(), F.col("priority").desc(), F.col("url_hash").asc()
-        )
-        .cache()
+    part = quota_rows.withColumn("_bkt", bucket).repartition(
+        parts, F.col("_bkt")
+    ).sortWithinPartitions(
+        F.col("_bkt").asc(), F.col("priority").desc(), F.col("url_hash").asc()
     )
     if persisted is not None:
+        # cache only when the caller owns the lifecycle (the epoch pipeline):
+        # an unconditional cache would leak one DataFrame per ad-hoc call.
+        # Without the cache the counts job and the mapInPandas pass each
+        # recompute `part` — deterministic, so the output is identical.
+        part = part.cache()
         persisted.append(part)
     counts = part.groupBy("_bkt").count().collect()
     offsets = np.zeros(n_buckets + 1, dtype=np.int64)

@@ -400,6 +400,7 @@ class CrawlEngine:
         flusher = ThreadPoolExecutor(max_workers=1)
         futures = []
         prev_ev: threading.Event | None = None
+        phase1_exc: BaseException | None = None
         try:
             for epoch in range(start, start + max_epochs):
                 if abort.is_set():
@@ -410,15 +411,30 @@ class CrawlEngine:
                 ev = threading.Event()
                 futures.append(flusher.submit(phase2_safe, ctx, ev))
                 prev_ev = ev
+        except BaseException as e:
+            # a failed background flush sets `abort`, after which phase1 may
+            # throw reading half-staged state — don't let that secondary
+            # exception mask the root-cause flush failure below
+            phase1_exc = e
         finally:
             flusher.shutdown(wait=True)
+        flush_exc: BaseException | None = None
         for fut in futures:
-            m = fut.result()  # re-raises the first flush failure
+            try:
+                m = fut.result()
+            except BaseException as e:  # keep draining; first failure wins
+                if flush_exc is None:
+                    flush_exc = e
+                continue
             stats.epochs += 1
             stats.scheduled += m["scheduled"]
             stats.fetched += m["fetched"]
             stats.failed += m["failed"]
             stats.per_epoch.append(m)
+        if flush_exc is not None:
+            raise flush_exc
+        if phase1_exc is not None:
+            raise phase1_exc
         stats.elapsed_sec = time.monotonic() - t0
         return stats
 

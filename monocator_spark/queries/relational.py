@@ -302,6 +302,142 @@ FROM events GROUP BY 1, 2
 """
 
 
+# -- O12: TLS scan fan-out — explode enabled versions → per-version scan →
+# map_from_entries + bool_or re-aggregation (reference: the
+# Map<TlsProtocolVersion, SingleVersionScan> + connectOK result type,
+# /root/reference/src/TODO.MD:27-28, per-version toggles TODO.MD:70-75).
+# The map column is rendered as sorted entries so DuckDB can hash-compare.
+_TLS_VERSIONS = ["ssl2", "ssl3", "tls10", "tls11", "tls12", "tls13"]
+
+
+def q_tls_fanout_map(spark, sf_dir):
+    s = T(spark, sf_dir, "supplier").select("s_suppkey")
+    ver = F.explode(F.array(*[F.lit(v) for v in _TLS_VERSIONS])).alias("version")
+    x = s.select("s_suppkey", ver).withColumn(
+        "hv",
+        F.expr(
+            "cast(conv(substr(md5(concat('tlscfg|', s_suppkey, '|', version)),1,4),16,10) as bigint)"
+        ),
+    )
+    en = (
+        x.where(F.col("hv") % 2 == 0)  # per-version enabled toggle
+        .withColumn("connect_ok", F.col("hv") % 5 != 0)
+        .withColumn(
+            "cipher", F.concat("version", F.lit("-c"), (F.col("hv") % 4).cast("string"))
+        )
+    )
+    agg = en.groupBy("s_suppkey").agg(
+        F.map_from_entries(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("version"),
+                        F.struct("connect_ok", "cipher").alias("scan"),
+                    )
+                )
+            )
+        ).alias("scan_per_version"),
+        F.bool_or("connect_ok").alias("connect_ok_any"),
+        F.count(F.lit(1)).alias("n_versions"),
+    )
+    return agg.select(
+        "s_suppkey",
+        F.concat_ws(
+            ";",
+            F.expr(
+                "transform(map_entries(scan_per_version),"
+                " e -> concat(e.key, '=', cast(e.value.connect_ok as string), ',', e.value.cipher))"
+            ),
+        ).alias("scan_map_str"),
+        "connect_ok_any",
+        "n_versions",
+    )
+
+
+SQL_TLS = """
+WITH ver AS (SELECT unnest(['ssl2','ssl3','tls10','tls11','tls12','tls13']) AS version),
+x AS (
+  SELECT s_suppkey, version,
+         CAST(('0x'||substr(md5('tlscfg|'||s_suppkey||'|'||version),1,4)) AS BIGINT) AS hv
+  FROM supplier CROSS JOIN ver),
+en AS (
+  SELECT s_suppkey, version, hv % 5 <> 0 AS connect_ok,
+         version||'-c'||CAST(hv % 4 AS VARCHAR) AS cipher
+  FROM x WHERE hv % 2 = 0)
+SELECT s_suppkey,
+       string_agg(version||'='||CAST(connect_ok AS VARCHAR)||','||cipher, ';' ORDER BY version) AS scan_map_str,
+       bool_or(connect_ok) AS connect_ok_any,
+       COUNT(*) AS n_versions
+FROM en GROUP BY s_suppkey
+"""
+
+
+# -- O14: change detection — lag(value) per entity stream drives the
+# screenshot policy ("if_html_changed" = value differs from the previous
+# observation; reference policy enum /root/reference/src/TODO.MD:62-67).
+def q_change_detect_lag(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    x = e.withColumn("prev", F.lag("value").over(w))
+    changed = F.col("prev").isNull() | (F.abs(F.col("value") - F.col("prev")) > 25)
+    policy = (
+        F.when(F.col("value") < 10, "never")
+        .when(F.col("value") < 50, "if_changed")
+        .otherwise("always")
+    )
+    shoot = (policy == "always") | ((policy == "if_changed") & changed)
+    return x.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(changed, 1).otherwise(0)).cast("long").alias("n_changed"),
+        F.sum(F.when(shoot, 1).otherwise(0)).cast("long").alias("n_screenshots"),
+    )
+
+
+SQL_CHANGE = """
+WITH x AS (
+  SELECT event_type, value,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+y AS (
+  SELECT event_type,
+         (prev IS NULL OR abs(value - prev) > 25) AS changed,
+         CASE WHEN value < 10 THEN 'never'
+              WHEN value < 50 THEN 'if_changed'
+              ELSE 'always' END AS policy
+  FROM x)
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       CAST(SUM(CASE WHEN policy = 'always' OR (policy = 'if_changed' AND changed)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_screenshots
+FROM y GROUP BY event_type
+"""
+
+
+# -- O17: frontier-cardinality metric — approx_count_distinct next to the
+# exact count; the oracle pins the exact value and asserts the sketch lands
+# within tolerance (HLL++ rsd=0.02, checked at 10x slack).
+def q_approx_distinct(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", 0.02).alias("approx"),
+    )
+    return agg.select(
+        "event_type",
+        "n_users_exact",
+        (
+            F.abs(F.col("approx") - F.col("n_users_exact"))
+            <= 0.2 * F.col("n_users_exact")
+        ).alias("approx_ok"),
+    )
+
+
+SQL_APPROX = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users_exact, TRUE AS approx_ok
+FROM events GROUP BY event_type
+"""
+
+
 RELATIONAL = {
     "wave_select_rank": (q_wave_select_rank, SQL_WAVE),
     "politeness_quota": (q_politeness_quota, SQL_QUOTA),
@@ -317,4 +453,7 @@ RELATIONAL = {
     "md5_shard": (q_md5_shard, SQL_SHARD),
     "case_when_policy": (q_case_when_policy, SQL_POLICY),
     "tumbling_window": (q_tumbling_window, SQL_TUMBLE),
+    "tls_fanout_map": (q_tls_fanout_map, SQL_TLS),
+    "change_detect_lag": (q_change_detect_lag, SQL_CHANGE),
+    "approx_distinct": (q_approx_distinct, SQL_APPROX),
 }

@@ -98,7 +98,14 @@ class SnapshotStore:
             self._staged[table]["dirs"].append(d)
 
     def commit(self, epoch: int, meta: dict | None = None) -> None:
-        """Atomically publish all staged writes as epoch ``epoch``."""
+        """Atomically publish all staged writes as epoch ``epoch``.
+
+        The manifest rename and the clearing of ``_staged`` happen under
+        ``_lock`` so that ``preview`` (which reads last_epoch() + _staged as
+        one snapshot under the same lock) can never observe the gap between
+        "new manifest visible" and "staged set cleared" — a pipelined
+        epoch k+1 previewing during epoch k's commit sees either (old
+        manifest + staged) or (new manifest + empty), both equivalent."""
         prev = self.last_epoch()
         tables: dict[str, list[str]] = {}
         if prev is not None:
@@ -112,8 +119,9 @@ class SnapshotStore:
         tmp = self._manifest_path(epoch) + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
-        os.rename(tmp, self._manifest_path(epoch))  # the atomic commit point
-        self._staged = {}
+        with self._lock:
+            os.rename(tmp, self._manifest_path(epoch))  # the atomic commit point
+            self._staged = {}
 
     def abort(self) -> None:
         for st in self._staged.values():
@@ -126,12 +134,17 @@ class SnapshotStore:
         """Read a table as the NEXT commit will see it: the last committed
         file set merged with any currently-staged writes. Used by the
         pipelined epoch loop to start epoch k+1 against epoch k's staged
-        state before k's manifest lands (commit order is still strict)."""
-        prev = self.last_epoch()
-        dirs: list[str] = []
-        if prev is not None:
-            dirs = list(self._read_manifest(prev)["tables"].get(table, []))
+        state before k's manifest lands (commit order is still strict).
+
+        last_epoch() and _staged are read as ONE snapshot under _lock
+        (commit() mutates both under the same lock), so an interleaving
+        commit can't make preview mix the new manifest with a cleared
+        staged set (stale frontier / dropped seen appends)."""
         with self._lock:
+            prev = self.last_epoch()
+            dirs: list[str] = []
+            if prev is not None:
+                dirs = list(self._read_manifest(prev)["tables"].get(table, []))
             st = self._staged.get(table)
             if st is not None:
                 if st["mode"] == "overwrite":
