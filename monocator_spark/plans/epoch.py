@@ -155,9 +155,66 @@ class CrawlEngine:
         # NOT counted here — the single materialization action at the end
         # of this phase pulls it through its cache, avoiding a serial
         # barrier between wave selection and the fetch chain.
-        wave = politeness.select_wave(pending, cfg, persisted).cache()
+        #
+        # time-based politeness (O7): hosts wait out their crawl_delay via
+        # the range predicate next_allowed_ts <= epoch_ts against the
+        # host_next state table (SURVEY §2.2 "range/as-of style"); delayed
+        # rows stay pending, they are not denied.
+        epoch_ts = epoch * spec.EPOCH_MS
+        host_next = (
+            self.store.preview(self.spark, "host_next")
+            if cfg.time_politeness
+            else None
+        )
+        if host_next is not None:
+            eligible = pending.join(host_next, "host", "left").where(
+                F.coalesce("next_allowed_ts", F.lit(0)) <= F.lit(epoch_ts)
+            ).drop("next_allowed_ts")
+        else:
+            eligible = pending
+        wave = politeness.select_wave(eligible, cfg, persisted).cache()
         persisted.append(wave)
         _mark("wave_select")
+
+        # crawl-delay bookkeeping: hosts scheduled now wait epoch_ts+delay;
+        # stale entries (already eligible) are pruned so host_next stays
+        # O(recently-delayed hosts), not O(all hosts ever)
+        host_next_new = None
+        if cfg.time_politeness:
+            delays = self.host_state.select("host", "crawl_delay_ms")
+            newn = (
+                wave.select("host")
+                .distinct()
+                .join(delays, "host", "left")
+                .where(F.coalesce("crawl_delay_ms", F.lit(0)) > 0)
+                .select(
+                    "host",
+                    (F.lit(epoch_ts) + F.col("crawl_delay_ms")).alias(
+                        "next_allowed_ts"
+                    ),
+                )
+            )
+            host_next_new = (
+                host_next.where(F.col("next_allowed_ts") > epoch_ts).unionByName(newn)
+                if host_next is not None
+                else newn
+            )
+
+        # scan module (O8 DNS resolve → O13 IP-cache split → O12 TLS fan-out)
+        tls_rows = new_scan_rows = None
+        if cfg.tls_scan:
+            from monocator_spark.operators import scan as scanop
+
+            wave_hosts = scanop.resolve_hosts(
+                wave.select("host").distinct(), cfg.n_hosts
+            ).cache()
+            persisted.append(wave_hosts)
+            scan_cache = self.store.preview(self.spark, "scan_cache")
+            tls_rows, new_scan_rows = scanop.scan_wave(wave_hosts, scan_cache, epoch)
+            # fresh scans feed BOTH the cache append and the tls rows —
+            # cache so the fan-out computes once
+            new_scan_rows = new_scan_rows.cache()
+            persisted.append(new_scan_rows)
 
         t0 = time.monotonic()
         wave_cols = wave.select(*FRONTIER_COLS_Q, "wave_pos")
@@ -167,7 +224,16 @@ class CrawlEngine:
             fetched = fetch.fetch_wave(wave_cols, self.corpus, cfg, persisted).persist()
         persisted.append(fetched)
 
-        ok = fetched.where(F.col("status") == OK)
+        from monocator_spark.operators import change
+
+        hist = (
+            self.store.preview(self.spark, "fetched")
+            if cfg.change_detection
+            else None
+        )
+        ok = change.with_screenshot(
+            fetched.where(F.col("status") == OK), hist, epoch
+        )
         retry = (
             fetched.where(
                 (F.col("status") == MISSING) & (F.col("retries") < cfg.max_retries)
@@ -249,6 +315,10 @@ class CrawlEngine:
         if n_wave == 0:
             for df in persisted:
                 df.unpersist()
+            if cfg.time_politeness and frontier_size > 0:
+                # every eligible host is waiting out its crawl delay: an
+                # IDLE epoch — time advances, nothing is scheduled
+                return {"idle": True, "epoch": epoch}
             return None
 
         return {
@@ -257,6 +327,8 @@ class CrawlEngine:
             "ok": ok, "perm_failed": perm_failed, "new_entries": new_entries,
             "denied_new": denied_new, "lineage": lineage,
             "next_frontier": next_frontier, "bloom_next": bloom_next,
+            "tls_rows": tls_rows, "new_scan_rows": new_scan_rows,
+            "host_next": host_next_new,
             "persisted": persisted, "debug": _debug,
         }
 
@@ -282,6 +354,12 @@ class CrawlEngine:
                 "seen", new_entries.select("url_hash", "url_norm"), epoch + 1
             )
             st.stage_overwrite("bloom", ctx["bloom_next"], epoch + 1)
+        if cfg.tls_scan:
+            # scan_cache is STATE: next epoch's anti-join must see it
+            st.stage_append("scan_cache", ctx["new_scan_rows"], epoch + 1)
+        if cfg.time_politeness and ctx["host_next"] is not None:
+            # host_next is STATE: next epoch's range gate reads it
+            st.stage_overwrite("host_next", ctx["host_next"], epoch + 1)
         if state_ready is not None:
             state_ready.set()  # next epoch may now preview the staged state
         if ctx["debug"]:
@@ -300,11 +378,16 @@ class CrawlEngine:
                 ok.select(
                     "url_hash", "image_id", "bytes", "w", "h", "fmt", "caption",
                     "phash", F.lit(epoch).alias("fetch_epoch"), "wave_pos", "status",
+                    "prior_phash", "policy", "screenshot",
                 ),
                 epoch + 1,
             ),
             lambda: st.stage_append("failed", perm_failed, epoch + 1),
         ]
+        if cfg.tls_scan:
+            flushes.append(
+                lambda: st.stage_append("tls", ctx["tls_rows"], epoch + 1)
+            )
         if cfg.follow_outlinks:
             flushes.append(
                 lambda: st.stage_append(
@@ -369,6 +452,32 @@ class CrawlEngine:
             df.unpersist()
         return m
 
+    # -- forced recrawl (O14 driver) ---------------------------------------------
+    def reenqueue(self, urls: list[str]) -> None:
+        """Put already-crawled URLs back into the frontier (forced recrawl).
+
+        The seen set is deliberately untouched — these URLs were seen; the
+        point is a REFETCH, which is what makes cross-epoch change
+        detection ("if_html_changed", reference TODO.MD:64) observable.
+        Caller contract: only pass URLs not currently pending (i.e. already
+        fetched/failed), else they would be scheduled twice.
+        """
+        from monocator_spark.operators import enqueue as enq
+
+        raw = self.spark.createDataFrame(
+            [(u,) for u in urls], "url string"
+        ).withColumn("depth", F.lit(0))
+        cands = enq.dedup_within_batch(enq.prepare_candidates(raw))
+        admitted, _denied = politeness.gate(cands, self.host_state, self.cfg)
+        frontier = self.store.load(self.spark, "frontier")
+        nxt = admitted.select(*FRONTIER_COLS_Q)
+        if frontier is not None:
+            nxt = frontier.unionByName(nxt)
+        ep = (self.store.last_epoch() or 0) + 1
+        meta = self.store.meta() or {"crawl_epoch": -1}
+        self.store.stage_overwrite("frontier", nxt, ep)
+        self.store.commit(ep, meta)  # crawl_epoch unchanged: run() resumes
+
     # -- loop / resume -----------------------------------------------------------
     def run(self, max_epochs: int = 1000) -> RunStats:
         """Run (or resume — the last committed manifest is the checkpoint).
@@ -390,6 +499,13 @@ class CrawlEngine:
             try:
                 if abort.is_set():
                     raise RuntimeError("skipped: earlier epoch flush failed")
+                if ctx.get("idle"):
+                    # nothing staged; commit just advances crawl_epoch so a
+                    # kill during an idle streak still resumes exactly
+                    self.store.commit(
+                        ctx["epoch"] + 1, {"crawl_epoch": ctx["epoch"]}
+                    )
+                    return {"idle": True}
                 return self._phase2(ctx, ev)
             except BaseException:
                 abort.set()
@@ -426,6 +542,8 @@ class CrawlEngine:
                 if flush_exc is None:
                     flush_exc = e
                 continue
+            if m.get("idle"):
+                continue  # idle epochs advance time, they don't count work
             stats.epochs += 1
             stats.scheduled += m["scheduled"]
             stats.fetched += m["fetched"]
@@ -447,3 +565,9 @@ class CrawlEngine:
 
     def fetched_df(self) -> DataFrame:
         return self.store.load(self.spark, "fetched")
+
+    def tls_df(self) -> DataFrame:
+        return self.store.load(self.spark, "tls")
+
+    def scan_cache_df(self) -> DataFrame:
+        return self.store.load(self.spark, "scan_cache")

@@ -49,6 +49,8 @@ class SimResult:
     denied: list[dict] = field(default_factory=list)    # robots/blacklist
     seen: dict[int, str] = field(default_factory=dict)  # url_hash -> url_norm
     metrics: list[dict] = field(default_factory=list)
+    tls: list[dict] = field(default_factory=list)       # O12 per-visit scans
+    scan_cache: dict[int, dict] = field(default_factory=dict)  # O13 ip -> scan
 
 
 class ReferenceSimulator:
@@ -80,7 +82,8 @@ class ReferenceSimulator:
     def _host_cfg(self, host: str) -> dict:
         return self.hosts.get(
             host,
-            {"robots_rules": [], "budget_per_epoch": self.cfg.per_host_quota, "blacklisted": False},
+            {"robots_rules": [], "budget_per_epoch": self.cfg.per_host_quota,
+             "blacklisted": False, "crawl_delay_ms": 0},
         )
 
     def _fetch(self, e: Entry) -> tuple[int, dict | None]:
@@ -107,9 +110,18 @@ class ReferenceSimulator:
         return OK, row
 
     # -- main loop -----------------------------------------------------------
-    def run(self, seed_urls: list[str], max_epochs: int = 1000) -> SimResult:
+    def run(
+        self,
+        seed_urls: list[str],
+        max_epochs: int = 1000,
+        reenqueue_at: dict[int, list[str]] | None = None,
+    ) -> SimResult:
+        """``reenqueue_at``: {epoch: [url, ...]} — forced recrawls injected at
+        the start of that epoch, bypassing the seen test (O14 refetch)."""
         res = SimResult()
         pending: dict[int, Entry] = {}
+        last_phash: dict[str, int] = {}  # image_id -> most recent fetched phash
+        host_next: dict[str, int] = {}   # host -> next_allowed_ts (crawl delay)
 
         def enqueue(url: str, depth: int) -> None:
             e = self._entry(url, depth)
@@ -137,6 +149,11 @@ class ReferenceSimulator:
         enqueue_batch([(u, 0) for u in seed_urls])
 
         for epoch in range(max_epochs):
+            if reenqueue_at and epoch in reenqueue_at:
+                for url in reenqueue_at[epoch]:
+                    e = self._entry(url, 0)
+                    if e is not None:
+                        pending[e.url_hash] = e  # seen untouched: refetch
             # gate: blacklist + robots (drop permanently)
             schedulable: list[Entry] = []
             for e in list(pending.values()):
@@ -154,12 +171,17 @@ class ReferenceSimulator:
                 else:
                     schedulable.append(e)
 
-            # politeness: per-host quota by (priority DESC, url_hash ASC)
+            # politeness: per-host quota by (priority DESC, url_hash ASC);
+            # time-based gate first — a host inside its crawl delay keeps
+            # its rows pending (not denied) until next_allowed_ts <= epoch_ts
+            epoch_ts = epoch * spec.EPOCH_MS
             by_host: dict[str, list[Entry]] = {}
             for e in schedulable:
                 by_host.setdefault(e.host, []).append(e)
             quota_rows: list[Entry] = []
             for host, rows in by_host.items():
+                if self.cfg.time_politeness and host_next.get(host, 0) > epoch_ts:
+                    continue
                 quota = min(self.cfg.per_host_quota, self._host_cfg(host)["budget_per_epoch"])
                 rows.sort(key=lambda r: (-r.priority, r.url_hash))
                 quota_rows.extend(rows[:quota])
@@ -168,7 +190,41 @@ class ReferenceSimulator:
             quota_rows.sort(key=lambda r: (-r.priority, r.url_hash))
             wave = quota_rows[: self.cfg.wave_size]
             if not wave:
+                if self.cfg.time_politeness and pending:
+                    continue  # idle epoch: every eligible host is delayed
                 break
+
+            if self.cfg.time_politeness:
+                for host in {e.host for e in wave}:
+                    d = self._host_cfg(host)["crawl_delay_ms"]
+                    if d > 0:
+                        host_next[host] = epoch_ts + d
+
+            # scan module (O8 resolve → O13 IP cache → O12 TLS fan-out);
+            # cache_hit = "IP cached before this epoch" (order-free, matching
+            # the engine's anti-join-then-union formulation)
+            if self.cfg.tls_scan:
+                wave_ip = {
+                    e.host: spec.ip_of_host(e.host, self.cfg.n_hosts) for e in wave
+                }
+                epoch_ips = set(wave_ip.values())
+                hits = {ip for ip in epoch_ips if ip in res.scan_cache}
+                for ip in epoch_ips - hits:
+                    scan = {
+                        v: spec.tls_scan_of(ip, v) for v in spec.tls_versions_of_ip(ip)
+                    }
+                    res.scan_cache[ip] = {
+                        "scan": scan,
+                        "connect_ok": any(ok for ok, _ in scan.values()),
+                    }
+                for host in sorted(wave_ip):
+                    ip = wave_ip[host]
+                    res.tls.append({
+                        "host": host, "ip": ip,
+                        "scan": res.scan_cache[ip]["scan"],
+                        "connect_ok": res.scan_cache[ip]["connect_ok"],
+                        "cache_hit": ip in hits, "epoch": epoch,
+                    })
 
             n_fetched = n_failed = 0
             outlink_batch: list[tuple[str, int]] = []
@@ -178,11 +234,26 @@ class ReferenceSimulator:
                 status, row = self._fetch(e)
                 if status == OK:
                     n_fetched += 1
+                    # O14: per-host policy + change detection vs prior fetch
+                    policy = spec.screenshot_policy_of(e.host)
+                    prior = (
+                        last_phash.get(row["image_id"])
+                        if self.cfg.change_detection
+                        else None
+                    )
+                    shot = spec.screenshot_decision(
+                        policy, spec.outlink_count_of(e.url_norm), prior,
+                        row["phash"], row["caption"],
+                    )
+                    if self.cfg.change_detection:
+                        last_phash[row["image_id"]] = row["phash"]
                     res.fetched.append({
                         "url_hash": e.url_hash, "url_norm": e.url_norm,
                         "image_id": row["image_id"], "caption": row["caption"],
                         "phash": row["phash"], "fetch_epoch": epoch,
                         "wave_pos": pos, "status": status,
+                        "prior_phash": prior, "policy": policy,
+                        "screenshot": shot,
                     })
                     del pending[e.url_hash]
                     if self.cfg.follow_outlinks and e.depth < self.cfg.max_depth:

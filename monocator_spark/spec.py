@@ -31,6 +31,14 @@ BLOOM_SHARDS = 32         # power of two; shard = url_hash & (BLOOM_SHARDS-1)
 BLOOM_BITS_PER_SHARD = 1 << 20   # 128 KiB/shard locally; sized up at scale
 BLOOM_NUM_HASHES = 7
 
+# ---- time-based politeness --------------------------------------------------
+# Logical epoch tick: epoch_ts = epoch * EPOCH_MS. A host scheduled in epoch
+# e becomes eligible again at the first f with f*EPOCH_MS >= e*EPOCH_MS +
+# crawl_delay_ms (host_state.crawl_delay_ms; robots Crawl-delay analogue
+# [canon]). 250ms tick → the fixture delays (0/100/1000 ms) span
+# no-wait / next-epoch / skip-3-epochs.
+EPOCH_MS = 250
+
 # ---- skew -----------------------------------------------------------------
 HOST_BUCKETS = 64         # salted buckets for window ranking (north_star:
                           # "salted window-ranked DataFrame batches")
@@ -44,6 +52,89 @@ PSNR_MIN_DB = 40.0        # lossy-format decode invariant (BASELINE.json:15)
 # ---- priority / hashing derivations ---------------------------------------
 PRIORITY_PREFIX = "p|"    # priority = to_unit(xxhash64(PRIORITY_PREFIX + url_norm))
 OUTLINK_PREFIX = "o|"     # outlink fan-out derived from xxhash64(OUTLINK_PREFIX + url_norm)
+
+# ---- scan module: O8 DNS + O12 TLS fan-out + O13 IP cache ------------------
+# Reference: dns.enabled/prefixes/rrtypes (/root/reference/src/TODO.MD:57-59),
+# per-version TLS toggles (TODO.MD:70-75), FullScanCache.find(ip) (TODO.MD:41).
+# The sandbox has no network, so DNS is a deterministic hash-derived resolve
+# [canon]; the IP space is deliberately smaller than the host space so
+# co-hosted hosts exist and the IP-level cache actually dedups scans.
+IP_PREFIX = "ip|"         # ip = pmod(xxhash64(IP_PREFIX + host), n_ips)
+TLS_CFG_PREFIX = "tlscfg|"   # per-(ip, version) enabled toggle
+TLS_SCAN_PREFIX = "tls|"     # per-(ip, version) handshake outcome
+TLS_VERSIONS = ("ssl2", "ssl3", "tls10", "tls11", "tls12", "tls13")
+
+
+# ---- screenshot policy + change detection (O14) ----------------------------
+# The reference's per-visit screenshot policy enum
+# (/root/reference/src/TODO.MD:62-67). Per-host policy assignment and the
+# non-reference predicates ("developed", "suspicious") are deterministic
+# hash-derived stand-ins [canon]; "if_html_changed" is the real cross-epoch
+# comparison: phash vs the previous fetch of the same image (lag analytic).
+SCREENSHOT_POLICIES = (
+    "always", "if_single_page_app", "if_html_changed", "if_developed",
+    "if_suspicious",
+)
+SCREENSHOT_PREFIX = "shot|"
+
+
+def screenshot_policy_of(host: str) -> str:
+    from monocator_spark.functions.hashing import xxh64_str
+
+    return SCREENSHOT_POLICIES[xxh64_str(SCREENSHOT_PREFIX + host) % 5]
+
+
+def outlink_count_of(url_norm: str) -> int:
+    """Intrinsic outlink count of a page (single-page-app predicate)."""
+    from monocator_spark.functions.hashing import xxh64_str
+
+    return xxh64_str(OUTLINK_PREFIX + url_norm) % 4
+
+
+def screenshot_decision(
+    policy: str,
+    n_outlinks: int,
+    prior_phash: int | None,
+    phash: int,
+    caption: str,
+) -> bool:
+    if policy == "always":
+        return True
+    if policy == "if_single_page_app":
+        return n_outlinks == 0
+    if policy == "if_html_changed":
+        return prior_phash is None or prior_phash != phash
+    if policy == "if_developed":
+        return len(caption.split(" ")) >= 8
+    return phash % 16 == 0  # if_suspicious (Python % = pmod on signed phash)
+
+
+def n_ips_for(n_hosts: int) -> int:
+    """IP space ~1/3 of host space → expected ~3 hosts per IP."""
+    return max(4, n_hosts // 3)
+
+
+def ip_of_host(host: str, n_hosts: int) -> int:
+    from monocator_spark.functions.hashing import xxh64_str
+
+    return xxh64_str(IP_PREFIX + host) % n_ips_for(n_hosts)  # Python % = pmod
+
+
+def tls_versions_of_ip(ip: int) -> list[str]:
+    """Enabled protocol versions for an IP (VisitRequest toggle analogue)."""
+    from monocator_spark.functions.hashing import xxh64_str
+
+    return [
+        v for v in TLS_VERSIONS if xxh64_str(f"{TLS_CFG_PREFIX}{ip}|{v}") % 2 == 0
+    ]
+
+
+def tls_scan_of(ip: int, version: str) -> tuple[bool, str]:
+    """Deterministic per-(ip, version) handshake outcome → (connect_ok, cipher)."""
+    from monocator_spark.functions.hashing import xxh64_str
+
+    hv = xxh64_str(f"{TLS_SCAN_PREFIX}{ip}|{version}") % 20
+    return hv != 0, f"{version}-c{hv % 4}"
 
 
 def to_unit_interval(h: int) -> float:
@@ -89,3 +180,15 @@ class CrawlConfig:
     bloom_num_hashes: int = BLOOM_NUM_HASHES
     salt_per_host: int = SALT_PER_HOST
     follow_outlinks: bool = True
+    # scan module (O8/O12/O13): per-module enable flag, mirroring the
+    # reference's VisitRequest tls.enabled (/root/reference/src/TODO.MD:69)
+    tls_scan: bool = False
+    # time-based politeness: gate hosts on next_allowed_ts <= epoch_ts
+    # (range predicate over the host_next state table). Off by default —
+    # the per-epoch quota alone reproduces round-1 goldens.
+    time_politeness: bool = False
+    # O14 cross-epoch change detection: when True, each fetched row's
+    # prior_phash is looked up from the fetched history (lag over
+    # fetch_epoch per image). Off by default: without forced recrawl every
+    # fetch is a first fetch, so the lookup would be pure overhead.
+    change_detection: bool = False
