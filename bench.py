@@ -40,6 +40,10 @@ HEADLINE = [
     "embedding_cosine_topk",
     "ann_ivf_bucketed",
     "bloom_build_stats",
+    "tls_fanout_map",
+    "change_detect_lag",
+    "approx_distinct",
+    "semantic_dedup_twostage",
 ]
 
 

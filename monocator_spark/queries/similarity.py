@@ -3,9 +3,10 @@ first-class training-data op).
 
 Baseline: brute-force cosine top-k with the query side broadcast (the
 100 TB-scale shape: tiny query set × huge corpus, corpus never shuffled).
-Scale path: bucketed ("IVF-style") variant — here the coarse quantizer is
-the `label` column standing in for a k-means cell id, so only the query's
-own cell is scanned.
+Scale path: IVF — deterministic seeded centroids, nearest-centroid
+assignment (broadcast k centroids × corpus, linear), then probe only the
+query's own cell. Composite: MinHash-LSH candidates confirmed by
+embedding cosine (two-stage semantic dedup).
 
 Cross-engine float parity: both engines fold the dot product sequentially
 over doubles (Spark `aggregate` HOF; DuckDB `list_dot_product` on a
@@ -73,42 +74,108 @@ WHERE rn <= 3
 
 
 def q_ann_bucketed(spark, sf_dir):
-    """IVF-style: scan only the query's own coarse cell (label)."""
+    """IVF with a real coarse quantizer — no pre-existing label column.
+
+    Train: deterministic seeded centroids (every 64th vector, ids ≡ 3 mod
+    64 — the "k-means seed" step; on an unlabeled corpus this is exactly
+    how IVF bootstraps). Assign: every vector goes to its nearest centroid
+    by (rounded) cosine, centroid-id tiebreak — a broadcast of k centroids
+    against the corpus, linear in |corpus|·k, never an all-pairs join.
+    Probe: each query scans only its own cell. The bucketed join is the
+    100 TB shape: cells partition the corpus, the query side is broadcast.
+    """
     e = T(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") < 20).select(
+    cents = e.where(F.col("vec_id") % 64 == 3).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = e.crossJoin(F.broadcast(cents)).withColumn(
+        "cs", F.expr(_cos_expr("embedding", "c_emb"))
+    )
+    wc = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cent_id"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(wc))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("cent_id").alias("cell"))
+    )
+    q = assigned.where(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
-        F.col("label").alias("q_label"),
+        F.col("cell").alias("q_cell"),
     )
-    pairs = e.join(
+    pairs = assigned.join(
         F.broadcast(q),
-        (F.col("label") == F.col("q_label")) & (F.col("vec_id") != F.col("q_id")),
+        (F.col("cell") == F.col("q_cell")) & (F.col("vec_id") != F.col("q_id")),
     )
-    scored = pairs.withColumn("cos_sim", F.expr(_cos_expr("q_emb", "embedding")))
+    probed = pairs.withColumn("cos_sim", F.expr(_cos_expr("q_emb", "embedding")))
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        probed.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .select("q_id", F.col("vec_id").alias("nn_id"), "cos_sim")
+        .select("q_id", F.col("q_cell").alias("cell"),
+                F.col("vec_id").alias("nn_id"), "cos_sim")
     )
 
 
 SQL_ANN_BUCKET = f"""
-WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
-           FROM embeddings WHERE vec_id < 20),
-scored AS (
-  SELECT q.q_id, e.vec_id,
-         {_cos_duck('q.q_emb', 'e.embedding')} AS cos_sim
-  FROM embeddings e JOIN q ON e.label = q.q_label AND e.vec_id <> q.q_id)
-SELECT q_id, vec_id AS nn_id, cos_sim FROM (
-  SELECT q_id, vec_id, cos_sim,
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS c_emb
+  FROM embeddings WHERE vec_id % 64 = 3),
+assigned AS (
+  SELECT vec_id, embedding, cent_id AS cell FROM (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {_cos_duck('e.embedding', 'c.c_emb')} DESC, c.cent_id) AS rn
+    FROM embeddings e CROSS JOIN cents c) t
+  WHERE rn = 1),
+q AS (SELECT vec_id AS q_id, embedding AS q_emb, cell AS q_cell
+      FROM assigned WHERE vec_id < 20),
+probed AS (
+  SELECT q.q_id, q.q_cell, a.vec_id,
+         {_cos_duck('q.q_emb', 'a.embedding')} AS cos_sim
+  FROM assigned a JOIN q ON a.cell = q.q_cell AND a.vec_id <> q.q_id)
+SELECT q_id, q_cell AS cell, vec_id AS nn_id, cos_sim FROM (
+  SELECT q_id, q_cell, vec_id, cos_sim,
          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn
-  FROM scored) t
+  FROM probed) t
 WHERE rn = 1
+"""
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """Two-stage semantic dedup — the standard LLM-pipeline composite:
+    stage 1 = MinHash-LSH candidate pairs (cheap, lexical, near-linear);
+    stage 2 = embedding-cosine confirmation of ONLY those candidates (the
+    expensive signal touches O(candidates), never O(n²) pairs). Join keys:
+    doc_id ≡ vec_id in the testdata."""
+    from monocator_spark.queries.textops import q_minhash_lsh_pairs
+
+    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    e = T(spark, sf_dir, "embeddings")
+    e1 = e.select(F.col("vec_id").alias("doc1"), F.col("embedding").alias("emb1"))
+    e2 = e.select(F.col("vec_id").alias("doc2"), F.col("embedding").alias("emb2"))
+    return (
+        pairs.join(e1, "doc1")
+        .join(e2, "doc2")
+        .withColumn("cos_sim", F.expr(_cos_expr("emb1", "emb2")))
+        .withColumn("confirmed", F.col("cos_sim") >= 0.1)
+        .select("doc1", "doc2", "cos_sim", "confirmed")
+    )
+
+
+def _sql_semantic_dedup() -> str:
+    from monocator_spark.queries.textops import SQL_LSH
+
+    cos = _cos_duck("ea.embedding", "eb.embedding")
+    return f"""
+SELECT p.doc1, p.doc2, {cos} AS cos_sim, {cos} >= 0.1 AS confirmed
+FROM ({SQL_LSH}) p
+JOIN embeddings ea ON ea.vec_id = p.doc1
+JOIN embeddings eb ON eb.vec_id = p.doc2
 """
 
 
 SIMILARITY = {
     "embedding_cosine_topk": (q_cosine_topk, SQL_TOPK_COS),
     "ann_ivf_bucketed": (q_ann_bucketed, SQL_ANN_BUCKET),
+    "semantic_dedup_twostage": (q_semantic_dedup, _sql_semantic_dedup()),
 }

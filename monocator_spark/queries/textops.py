@@ -345,21 +345,30 @@ GROUP BY b.doc_id
 
 # -- SimHash (32-bit, token-vote) -----------------------------------------------------------
 def q_simhash_docs(spark, sf_dir):
+    """Packed-vote single pass: the 32 bit-votes accumulate in an array
+    column via one `aggregate` HOF over the doc's (distinct) token hashes —
+    zero explodes, zero shuffles, per-row whole-stage-codegen. The earlier
+    plan exploded every token into 32 bit-rows and shuffled twice; output
+    is identical (same per-(doc, bit) vote sums)."""
     d = T(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
-    ).where(F.col("tok") != "")
-    hashed = tok.withColumn("th", F.expr(_md5long("tok")))
-    bits = hashed.withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(31))))
-    votes = bits.groupBy("doc_id", "b").agg(
-        F.sum(
-            F.expr("2 * cast(shiftright(th, b) & 1 as bigint) - 1")
-        ).alias("vote")
+    votes = (
+        "aggregate("
+        f"  transform(filter(array_distinct(split(text, ' ')), t -> t <> ''),"
+        f"            t -> {_md5long('t')}),"
+        "  array_repeat(cast(0 as bigint), 32),"
+        "  (acc, th) -> zip_with(acc, sequence(0, 31),"
+        "               (a, b) -> a + 2 * cast(shiftright(th, b) & 1 as bigint) - 1))"
     )
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("vote") > 0, F.expr("shiftleft(cast(1 as bigint), b)")).otherwise(0)
-        ).alias("simhash")
+    simhash = (
+        "aggregate("
+        "  zip_with(votes, sequence(0, 31),"
+        "           (v, b) -> if(v > 0, shiftleft(cast(1 as bigint), b),"
+        "                        cast(0 as bigint))),"
+        "  cast(0 as bigint), (s, x) -> s + x)"
+    )
+    return (
+        d.select("doc_id", F.expr(votes).alias("votes"))
+        .select("doc_id", F.expr(simhash).alias("simhash"))
     )
 
 

@@ -4,9 +4,12 @@ Plays the role Iceberg plays in the north rule ("checkpoints frontier state
 and Bloom shards to Iceberg snapshots", BASELINE.json:6). The Iceberg Spark
 runtime jar is not available offline in this sandbox, so this is the
 fallback called out in SURVEY.md §7 step 3: parquet data files + a JSON
-manifest per committed epoch, one storage interface, swap-in Iceberg later
-(`IcebergStore` would implement the same four methods with
-``writeTo(...).append()`` / ``MERGE INTO`` + snapshot-id pinning).
+manifest per committed epoch, one storage interface. The Iceberg twin is
+``monocator_spark.sources.iceberg_store.IcebergStore`` — same public
+surface (``tests/test_store_contract.py`` pins the parity), implemented on
+``writeTo(...).append()/createOrReplace()`` + snapshot-id pinning; the
+engine takes either through its ``store`` parameter, so the swap on a real
+cluster is mechanical.
 
 Semantics provided (the subset of Iceberg the engine needs):
   * atomic multi-table commit — data files are written first, then a single
