@@ -32,6 +32,7 @@ HEADLINE = [
     "json_extract_agg",
     "tumbling_window",
     "token_count",
+    "token_count_bpe",
     "quality_score",
     "fingerprint_doc",
     "shingle_jaccard_pairs",

@@ -75,6 +75,38 @@ GROUP BY lang
 """
 
 
+# -- BPE-ish tokenization (regex) -------------------------------------------------
+# A GPT-2-style pre-tokenizer simplification: runs of letters, runs of
+# digits, or a single other non-space symbol each count as one token. The
+# pattern uses only class/quantifier syntax that Java regex (Spark) and
+# RE2-ish DuckDB evaluate identically.
+_BPE_PAT = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def q_token_count_bpe(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    d = d.withColumn(
+        "n_bpe", F.expr(f"size(regexp_extract_all(text, '{_BPE_PAT}', 0))").cast("long")
+    ).withColumn("n_ws", F.expr(_NTOK).cast("long"))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bpe").alias("sum_bpe_tokens"),
+        F.round(F.sum("n_bpe") / F.sum("n_ws"), 6).alias("bpe_per_ws_token"),
+    )
+
+
+SQL_TOKENS_BPE = f"""
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_bpe) AS BIGINT) AS sum_bpe_tokens,
+       ROUND(CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_ws), 6) AS bpe_per_ws_token
+FROM (SELECT source,
+             CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS BIGINT) AS n_bpe,
+             CAST((length(text) - length(replace(text, ' ', ''))) + 1 AS BIGINT) AS n_ws
+      FROM documents) t
+GROUP BY source
+"""
+
+
 # -- exact dedup (hash-groupBy) --------------------------------------------------
 def q_exact_dedup_docs(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
@@ -458,6 +490,7 @@ FROM documents
 
 TEXTOPS = {
     "token_count": (q_token_count, SQL_TOKENS),
+    "token_count_bpe": (q_token_count_bpe, SQL_TOKENS_BPE),
     "exact_dedup_docs": (q_exact_dedup_docs, SQL_EXACT_DEDUP),
     "quality_score": (q_quality_score, SQL_QUALITY),
     "langid_markers": (q_langid_markers, SQL_LANGID),
