@@ -45,6 +45,7 @@ HEADLINE = [
     "change_detect_lag",
     "approx_distinct",
     "semantic_dedup_twostage",
+    "phash_hamming_pairs",
 ]
 
 

@@ -118,8 +118,49 @@ def host_of(url_norm: str) -> str:
     return rest if slash < 0 else rest[:slash]
 
 
+# --- vectorized fast path ----------------------------------------------------
+# Structural prenorm (trim, defrag, authority lowercase, default-port strip,
+# empty path → "/") runs as C-backed pandas str ops; a STRICT full-match then
+# proves the result canonical (lowercase http(s), portless [a-z0-9.-]
+# authority, path of unreserved-charset segments none of which is empty or
+# "." / ".."), which makes percent-decoding and dot-segment removal no-ops
+# by construction. Only the residue pays the per-row Python canonicalizer.
+# Equivalence is pinned by tests/test_urlnorm.py (adversarial grid + datagen
+# variants) and every engine-vs-simulator golden test.
+_URL_SPLIT_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/]*)(/.*)?$")
+_CANONICAL_BODY = re.compile(
+    r"https?://[a-z0-9.\-]+/((([a-z0-9_~\-][a-z0-9._~\-]*)"
+    r"(/[a-z0-9_~\-][a-z0-9._~\-]*)*)/?)?"
+)
+
+
+def _prenorm_series(urls: pd.Series) -> tuple[pd.Series, pd.Series]:
+    """→ (prenormalized form, provably-canonical mask)."""
+    st = urls.str.strip()
+    defrag = st.str.split("#", n=1).str[0]
+    parts = defrag.str.extract(_URL_SPLIT_RE)
+    scheme = parts[0].str.lower()
+    auth = parts[1].str.lower()
+    path = parts[2]
+    path = path.where(~(path.isna() & scheme.notna()), "/")
+    auth = auth.mask(
+        (scheme == "http") & auth.str.endswith(":80", na=False), auth.str[:-3]
+    )
+    auth = auth.mask(
+        (scheme == "https") & auth.str.endswith(":443", na=False), auth.str[:-4]
+    )
+    pre = scheme + "://" + auth + path
+    ok = pre.str.fullmatch(_CANONICAL_BODY, na=False)
+    return pre, ok
+
+
 def canonicalize_series(urls: pd.Series) -> pd.Series:
-    return urls.map(canonicalize_url)
+    pre, ok = _prenorm_series(urls)
+    out = pre.where(ok)
+    residue = ~ok
+    if residue.any():
+        out.loc[residue] = urls.loc[residue].map(canonicalize_url)
+    return out
 
 
 def host_series(url_norms: pd.Series) -> pd.Series:

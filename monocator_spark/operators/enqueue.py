@@ -1,9 +1,20 @@
 """Frontier enqueue: canonicalize → hash → priority → intra-batch dedup.
 
-SURVEY.md §2 O2 (canonicalization, Arrow-vectorized pandas UDF) + O3
-(xxhash64 builtin — JVM-side, zero Python) + the order-free intra-batch
-dedup rule (same canonical URL discovered twice in one epoch → min depth
-wins), mirroring ``ReferenceSimulator.enqueue_batch``.
+SURVEY.md §2 O2 (canonicalization) + O3 (xxhash64 builtin — JVM-side, zero
+Python) + the order-free intra-batch dedup rule (same canonical URL
+discovered twice in one epoch → min depth wins), mirroring
+``ReferenceSimulator.enqueue_batch``.
+
+Python-boundary budget: exactly ONE Arrow UDF per candidate batch (the
+canonicalizer — and inside it the provably-canonical majority takes a
+vectorized pandas fast path, see ``functions.urlnorm._prenorm_series``;
+only the residue pays per-row Python). Splitting fast/slow at the PLAN
+level (filter-pair + union) was measured 3x slower end-to-end: every
+downstream consumer of the candidates duplicates the two-branch subtree
+and per-epoch plan compilation dwarfs the saved Python. Host extraction
+is pure Catalyst: for a canonical URL the authority is the text between
+the FIRST '://' and the next '/' (instr, not substring_index(-1): a path
+may itself contain '://').
 """
 
 from __future__ import annotations
@@ -11,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from monocator_spark import spec
-from monocator_spark.functions.urlnorm import canonicalize_udf, host_udf
+from monocator_spark.functions.urlnorm import canonicalize_udf
 
 FRONTIER_COLS = ["url_norm", "url_hash", "host", "priority", "depth", "retries"]
 
@@ -19,15 +30,22 @@ FRONTIER_COLS = ["url_norm", "url_hash", "host", "priority", "depth", "retries"]
 def prepare_candidates(raw: DataFrame) -> DataFrame:
     """raw(url string, depth int) → frontier-shaped candidate rows.
 
-    The canonicalizer is the only Python in this path (Arrow batches); hash
-    and priority are Catalyst expressions, so the whole stage after the UDF
-    is whole-stage-codegen eligible.
+    The canonicalizer is the only Python in this path (Arrow batches,
+    vectorized fast path inside); hash, host and priority are Catalyst
+    expressions, so the whole stage after the UDF is whole-stage-codegen
+    eligible.
     """
     return (
         raw.withColumn("url_norm", canonicalize_udf(F.col("url")))
         .where(F.col("url_norm").isNotNull())
         .withColumn("url_hash", F.xxhash64("url_norm"))
-        .withColumn("host", host_udf(F.col("url_norm")))
+        .withColumn(
+            "host",
+            F.expr(
+                "substring_index(substr(url_norm,"
+                " instr(url_norm, '://') + 3), '/', 1)"
+            ),
+        )
         .withColumn("priority", F.expr(spec.priority_sql("url_norm")))
         .withColumn("retries", F.lit(0))
         .select(*FRONTIER_COLS)

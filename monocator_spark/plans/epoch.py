@@ -219,9 +219,28 @@ class CrawlEngine:
         t0 = time.monotonic()
         wave_cols = wave.select(*FRONTIER_COLS_Q, "wave_pos")
         if self.corpus_bucketed:
-            fetched = fetch.fetch_wave_bucketed(wave_cols, self.corpus, cfg).persist()
+            fetched = fetch.fetch_wave_bucketed(wave_cols, self.corpus, cfg)
         else:
-            fetched = fetch.fetch_wave(wave_cols, self.corpus, cfg, persisted).persist()
+            fetched = fetch.fetch_wave(wave_cols, self.corpus, cfg, persisted)
+        # status tallies ride the epoch's one materializing action as an
+        # Observation (computed while rows stream into the cache) — no
+        # separate groupBy-count job per epoch
+        from pyspark.sql import Observation
+
+        status_obs = Observation(f"status-{epoch}")
+        fetched = fetched.observe(
+            status_obs,
+            F.sum((F.col("status") == OK).cast("long")).alias("n_ok"),
+            F.sum(
+                (
+                    (F.col("status") != OK)
+                    & ~(
+                        (F.col("status") == MISSING)
+                        & (F.col("retries") < cfg.max_retries)
+                    )
+                ).cast("long")
+            ).alias("n_failed_perm"),
+        ).persist()
         persisted.append(fetched)
 
         from monocator_spark.operators import change
@@ -294,8 +313,14 @@ class CrawlEngine:
         remaining = pending.select(*FRONTIER_COLS_Q).join(
             F.broadcast(wave.select("url_hash")), "url_hash", "left_anti"
         )
+        # frontier host cardinality (O17 metric) rides the same count
+        # action as another Observation — approx_count_distinct, no job
+        frontier_obs = Observation(f"frontier-{epoch}")
         next_frontier = remaining.unionByName(retry).unionByName(
             admitted.select(*FRONTIER_COLS_Q)
+        ).observe(
+            frontier_obs,
+            F.approx_count_distinct("host", 0.02).alias("hosts_approx"),
         ).cache()
         persisted.append(next_frontier)
 
@@ -329,6 +354,7 @@ class CrawlEngine:
             "next_frontier": next_frontier, "bloom_next": bloom_next,
             "tls_rows": tls_rows, "new_scan_rows": new_scan_rows,
             "host_next": host_next_new,
+            "status_obs": status_obs, "frontier_obs": frontier_obs,
             "persisted": persisted, "debug": _debug,
         }
 
@@ -342,7 +368,7 @@ class CrawlEngine:
         cfg = self.cfg
         st = self.store
         epoch = ctx["epoch"]
-        wave, fetched = ctx["wave"], ctx["fetched"]
+        wave = ctx["wave"]
         ok, perm_failed = ctx["ok"], ctx["perm_failed"]
         new_entries, denied_new = ctx["new_entries"], ctx["denied_new"]
         lineage = ctx["lineage"]
@@ -398,33 +424,20 @@ class CrawlEngine:
             )
             if lineage is not None:
                 flushes.append(lambda: st.stage_append("lineage", lineage, epoch + 1))
-        # counts ride the same pool: one job over the persisted fetch result
-        status_counts: dict = {}
-        flushes.append(
-            lambda: status_counts.update(
-                {
-                    (r["status"], r["retries"]): r["n"]
-                    for r in fetched.groupBy("status", "retries")
-                    .agg(F.count(F.lit(1)).alias("n"))
-                    .collect()
-                }
-            )
-        )
         with ThreadPoolExecutor(max_workers=len(flushes)) as pool:
             for fut in [pool.submit(f) for f in flushes]:
                 fut.result()  # re-raise any failure before committing
-        n_fetched = sum(n for (s, _), n in status_counts.items() if s == OK)
-        n_failed = sum(
-            n
-            for (s, r), n in status_counts.items()
-            if s != OK and not (s == MISSING and r < cfg.max_retries)
-        )
+        # status tallies + frontier cardinality come from the Observations
+        # attached in _phase1 — already recorded by the epoch's
+        # materializing count action, zero extra jobs here
+        status = ctx["status_obs"].get
         m = {
             "epoch": epoch,
             "scheduled": ctx["n_wave"],
-            "fetched": n_fetched,
-            "failed": n_failed,
+            "fetched": int(status["n_ok"]),
+            "failed": int(status["n_failed_perm"]),
             "frontier_size": ctx["frontier_size"],
+            "frontier_hosts_approx": int(ctx["frontier_obs"].get["hosts_approx"]),
             "elapsed_ms": int((time.monotonic() - ctx["t0"]) * 1000),
         }
         import pyarrow as pa
@@ -439,6 +452,7 @@ class CrawlEngine:
                     ("fetched", pa.int64()),
                     ("failed", pa.int64()),
                     ("frontier_size", pa.int64()),
+                    ("frontier_hosts_approx", pa.int64()),
                     ("elapsed_ms", pa.int64()),
                 ]
             ),

@@ -7,12 +7,13 @@ aligned pairwise — the driver hash-compares values after sorting columns by
 name.
 """
 
+from monocator_spark.queries.imaging import IMAGING
 from monocator_spark.queries.relational import RELATIONAL
 from monocator_spark.queries.similarity import SIMILARITY
 from monocator_spark.queries.textops import TEXTOPS
 
 REGISTRY: dict[str, tuple] = {}
-for part in (RELATIONAL, TEXTOPS, SIMILARITY):
+for part in (RELATIONAL, TEXTOPS, SIMILARITY, IMAGING):
     REGISTRY.update(part)
 
 

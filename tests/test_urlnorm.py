@@ -50,3 +50,76 @@ def test_series_matches_scalar():
     raws = [c[0] for c in CASES] + ["junk"]
     out = canonicalize_series(pd.Series(raws)).tolist()
     assert out == [canonicalize_url(r) for r in raws]
+
+
+# --- JVM fast path ≡ Python canonicalizer (enqueue.prepare_candidates) ------
+
+_ADVERSARIAL = [
+    "http://h0.example/img0000000001",
+    "http://H0.EXAMPLE/img0000000001",
+    "http://h0.example:80/img0000000001#frag",
+    "http://h0.example/./img0000000001",
+    "https://h1.example:443/a/b/c",
+    "https://h1.example:443/a/b/c/",
+    "http://h1.example:8080/a",
+    "http://h1.example",
+    "http://h1.example/",
+    "http://h1.example//a",
+    "http://h1.example/.",
+    "http://h1.example/..",
+    "http://h1.example/a/../b",
+    "http://h1.example/%41",
+    "http://h1.example/a?q=1",
+    "http://h1.example/a#b#c",
+    "http://h1.example/a://weird",
+    "http://h1.example/UPPER",
+    "http://h1.example/a_b~c-d.e",
+    "  http://h1.example/pad  ",
+    "ftp://h1.example/a",
+    "not-a-url",
+    "http://",
+    "http:///nohost",
+    "http://h1.example:80:80/a",
+    "http://h-1.example./seg./..dots",
+]
+
+
+def test_fast_path_equivalence(spark):
+    """prepare_candidates (Catalyst pre-normalizer + strict-canonical gate +
+    UDF residue) must equal the pure-Python canonicalizer on every URL —
+    including shapes the fast path must REJECT to stay correct."""
+    from pyspark.sql import functions as F
+
+    from monocator_spark.datagen.corpus import apply_variant, url_of_image
+    from monocator_spark.operators.enqueue import prepare_candidates
+
+    urls = list(_ADVERSARIAL)
+    for i in range(80):
+        urls.append(apply_variant(url_of_image(i, 7), i))
+    df = spark.createDataFrame([(u, 0) for u in urls], "url string, depth int")
+    # prepare_candidates drops the raw url column; compare against the
+    # multiset of expected outputs instead
+    got_rows = sorted(
+        (r.url_norm, r.host)
+        for r in prepare_candidates(df).select("url_norm", "host").collect()
+    )
+    exp_rows = sorted(
+        (n, host_of(n))
+        for n in (canonicalize_url(u) for u in urls)
+        if n is not None
+    )
+    assert got_rows == exp_rows
+
+
+def test_fast_path_actually_fast():
+    """3 of the 4 datagen variants must resolve on the vectorized pandas
+    fast path: the per-row Python residue must see only the dot-segment
+    variant (v=3)."""
+    from monocator_spark.datagen.corpus import apply_variant, url_of_image
+    from monocator_spark.functions.urlnorm import _prenorm_series
+
+    urls = [apply_variant(url_of_image(i, 7), v) for i in range(40) for v in range(4)]
+    _, ok = _prenorm_series(pd.Series(urls))
+    assert int(ok.sum()) == 3 * 40  # variants 0,1,2 fast; only '/./' is slow
+    slow = [u for u, o in zip(urls, ok) if not o]
+    assert all("/./" in u for u in slow)
