@@ -6,9 +6,10 @@ discovered twice in one epoch → min depth wins), mirroring
 ``ReferenceSimulator.enqueue_batch``.
 
 Python-boundary budget: exactly ONE Arrow UDF per candidate batch (the
-canonicalizer — and inside it the provably-canonical majority takes a
-vectorized pandas fast path, see ``functions.urlnorm._prenorm_series``;
-only the residue pays per-row Python). Splitting fast/slow at the PLAN
+canonicalizer — already-canonical inputs short-circuit through a single
+compiled-regex gate, see ``functions.urlnorm._canonicalize_row``; the
+rest pay a per-row canonicalizer that skips its O(len) passes when
+"%" / "/." are absent). Splitting fast/slow at the PLAN
 level (filter-pair + union) was measured 3x slower end-to-end: every
 downstream consumer of the candidates duplicates the two-branch subtree
 and per-epoch plan compilation dwarfs the saved Python. Host extraction

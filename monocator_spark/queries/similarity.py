@@ -88,16 +88,23 @@ def q_ann_bucketed(spark, sf_dir):
     cents = e.where(F.col("vec_id") % 64 == 3).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
     )
-    scored = e.crossJoin(F.broadcast(cents)).withColumn(
-        "cs", F.expr(_cos_expr("embedding", "c_emb"))
-    )
-    wc = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cent_id"))
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(wc))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "embedding", F.col("cent_id").alias("cell"))
-    )
-    q = assigned.where(F.col("vec_id") < 20).select(
+
+    def _assign(vecs):
+        scored = vecs.crossJoin(F.broadcast(cents)).withColumn(
+            "cs", F.expr(_cos_expr("embedding", "c_emb"))
+        )
+        wc = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cent_id"))
+        return (
+            scored.withColumn("rn", F.row_number().over(wc))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "embedding", F.col("cent_id").alias("cell"))
+        )
+
+    assigned = _assign(e)
+    # the query side re-assigns ONLY its own 20 vectors (assignment is a
+    # pure function of the vector) — deriving q from `assigned` would make
+    # Spark recompute the full corpus x centroids pass a second time
+    q = _assign(e.where(F.col("vec_id") < 20)).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
         F.col("cell").alias("q_cell"),

@@ -130,3 +130,10 @@ def test_lineage_and_metrics_written(engine_run):
     assert lineage is not None and lineage.count() > 0
     row = lineage.first()
     assert 0.0 <= row.dedup_hit_rate <= 1.0
+    # O17 frontier-cardinality metric (approx_count_distinct via Observation):
+    # present every epoch, non-negative, and ≤ total frontier rows
+    mrows = metrics.orderBy("epoch").collect()
+    assert all(m.frontier_hosts_approx >= 0 for m in mrows)
+    assert all(
+        m.frontier_hosts_approx <= max(m.frontier_size, 1) * 1.05 for m in mrows
+    )

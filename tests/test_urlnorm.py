@@ -111,15 +111,18 @@ def test_fast_path_equivalence(spark):
     assert got_rows == exp_rows
 
 
-def test_fast_path_actually_fast():
-    """3 of the 4 datagen variants must resolve on the vectorized pandas
-    fast path: the per-row Python residue must see only the dot-segment
-    variant (v=3)."""
+def test_fast_path_gate():
+    """The already-canonical gate must accept exactly the canonical datagen
+    variant (v=0) and reject every non-canonical rewrite — an over-eager
+    gate would skip normalization work that is NOT an identity."""
     from monocator_spark.datagen.corpus import apply_variant, url_of_image
-    from monocator_spark.functions.urlnorm import _prenorm_series
+    from monocator_spark.functions.urlnorm import _canonical_fullmatch
 
-    urls = [apply_variant(url_of_image(i, 7), v) for i in range(40) for v in range(4)]
-    _, ok = _prenorm_series(pd.Series(urls))
-    assert int(ok.sum()) == 3 * 40  # variants 0,1,2 fast; only '/./' is slow
-    slow = [u for u, o in zip(urls, ok) if not o]
-    assert all("/./" in u for u in slow)
+    for i in range(40):
+        for v in range(4):
+            u = apply_variant(url_of_image(i, 7), v)
+            assert bool(_canonical_fullmatch(u)) == (v == 0), u
+    # gate must also reject shapes whose canonical form differs from input
+    for u in _ADVERSARIAL:
+        if _canonical_fullmatch(u):
+            assert canonicalize_url(u) == u, u
