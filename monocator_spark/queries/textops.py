@@ -339,6 +339,8 @@ def q_minhash_dedup_groups(spark, sf_dir):
     each doc mapped to a cluster representative (min doc_id sharing any LSH
     band), not the quadratic all-pairs list. Output size is O(docs) no
     matter how dense the duplicate clusters are."""
+    from pyspark.sql import Window
+
     sig = q_minhash_signature(spark, sf_dir)
     bands = sig.groupBy(
         "doc_id", F.floor(F.col("seed") / 2).cast("long").alias("band")
@@ -346,9 +348,12 @@ def q_minhash_dedup_groups(spark, sf_dir):
         F.min(F.when(F.col("seed") % 2 == 0, F.col("minhash"))).alias("h0"),
         F.min(F.when(F.col("seed") % 2 == 1, F.col("minhash"))).alias("h1"),
     )
-    grp = bands.groupBy("band", "h0", "h1").agg(F.min("doc_id").alias("grp_rep"))
+    # bucket representative via a window-min rather than a groupBy+self-join:
+    # referencing `bands` twice would make Spark recompute the whole
+    # signature pipeline (explode x seeds + md5 + two aggs) a second time
+    wb = Window.partitionBy("band", "h0", "h1")
     return (
-        bands.join(grp, ["band", "h0", "h1"])
+        bands.withColumn("grp_rep", F.min("doc_id").over(wb))
         .groupBy("doc_id")
         .agg(F.min("grp_rep").alias("rep_id"))
         .withColumn("is_dup", F.col("doc_id") > F.col("rep_id"))

@@ -59,7 +59,8 @@ def main() -> None:
         )
         flags = audit(name, plan)
         n_scans = len(re.findall(r"Scan parquet", plan))
-        n_codegen = len(re.findall(r"WholeStageCodegen", plan))
+        # formatted mode annotates codegen membership per-operator
+        n_codegen = len(set(re.findall(r"\[codegen id : (\d+)\]", plan)))
         n_exch = len(re.findall(r"Exchange", plan))
         status = "FLAG " + ",".join(flags) if flags else "ok"
         print(
