@@ -89,10 +89,12 @@ def canonicalize_url(url: str) -> str | None:
         return None
     scheme = m.group(1).lower()
     rest = url[m.end():]
-    # drop fragment first (never part of the request)
+    # drop fragment first (never part of the request); cutting it can
+    # expose trailing whitespace the initial strip() couldn't see —
+    # rstrip again or canonicalization isn't idempotent ("a #f" → "a ")
     frag = rest.find("#")
     if frag >= 0:
-        rest = rest[:frag]
+        rest = rest[:frag].rstrip()
     slash = rest.find("/")
     if slash < 0:
         authority, path = rest, ""

@@ -126,3 +126,47 @@ def test_fast_path_gate():
     for u in _ADVERSARIAL:
         if _canonical_fullmatch(u):
             assert canonicalize_url(u) == u, u
+
+
+# --- property-based: idempotence + gate soundness (hypothesis) ---------------
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+if _HAVE_HYP:
+    # URL-ish soup biased toward the characters canonicalization cares
+    # about (scheme separators, ports, dots, escapes, fragments)
+    _soup = st.text(
+        alphabet="abcXYZ012%:/.#?~_-& ",
+        min_size=0,
+        max_size=40,
+    )
+    _urlish = st.one_of(
+        _soup,
+        st.builds(lambda h, p: f"http://{h}/{p}", _soup, _soup),
+        st.builds(lambda h, p: f"HTTPS://{h}:443/{p}#f", _soup, _soup),
+    )
+
+    @settings(max_examples=500, deadline=None)
+    @given(_urlish)
+    def test_canonicalize_idempotent(u):
+        """canonicalize ∘ canonicalize ≡ canonicalize: the output of the
+        canonicalizer must itself be a fixed point (otherwise the URL-seen
+        set would depend on how many times a URL was re-enqueued)."""
+        once = canonicalize_url(u)
+        if once is not None:
+            assert canonicalize_url(once) == once
+
+    @settings(max_examples=500, deadline=None)
+    @given(_urlish)
+    def test_fast_gate_sound(u):
+        """If the already-canonical gate accepts a string, canonicalization
+        must be an identity on it — the gate may only skip no-op work."""
+        from monocator_spark.functions.urlnorm import _canonical_fullmatch
+
+        if _canonical_fullmatch(u):
+            assert canonicalize_url(u) == u
