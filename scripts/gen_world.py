@@ -36,11 +36,17 @@ def ensure_world(out_dir: str, meta: dict, cores: int = 32) -> dict:
     if os.path.exists(mpath):
         with open(mpath) as f:
             existing = json.load(f)
-        if {k: existing.get(k) for k in meta} == meta:
+        # absent boolean keys mean False (older metas predate tiny_images):
+        # a spurious mismatch here would silently REGENERATE a 16 GB world
+        if {k: bool(existing.get(k, False)) if isinstance(v, bool) else existing.get(k)
+                for k, v in meta.items()} == meta:
             return existing
     from monocator_spark.datagen.distributed import write_world_distributed
     from monocator_spark.session import get_spark
 
+    # image-bearing gen needs a real heap; the default 8g OOMs on the
+    # 32-way mixed-size-image write (SPARK_DRIVER_MEM still wins if set)
+    os.environ.setdefault("SPARK_DRIVER_MEM", "32g")
     spark = get_spark("gen-world", cores=cores)
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.monotonic()
