@@ -46,6 +46,7 @@ HEADLINE = [
     "approx_distinct",
     "semantic_dedup_twostage",
     "phash_hamming_pairs",
+    "phash_dedup_groups",
 ]
 
 

@@ -118,6 +118,56 @@ WHERE bit_count(xor(a.phash, b.phash)) <= {_THRESHOLD}
 """
 
 
+def q_phash_dedup_groups(spark, sf_dir):
+    """Image near-dup dedup as a pipeline consumes it: every image mapped
+    to a cluster representative (min doc_id sharing any hash band) — the
+    O(images) output shape, not the quadratic pair list. Same window-min
+    trick as ``minhash_dedup_groups``: referencing the band table twice
+    through a groupBy+self-join would recompute it."""
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents")
+    ph = d.select("doc_id", F.expr(_PHASH_SPARK).alias("phash"))
+    bands = ph.select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(0, {_BANDS - 1})")).alias("band_id"),
+        "phash",
+    ).withColumn(
+        "band_val",
+        F.expr(
+            f"shiftright(phash, cast(band_id * {_BAND_BITS} as int))"
+            f" & cast({(1 << _BAND_BITS) - 1} as bigint)"
+        ),
+    )
+    wb = Window.partitionBy("band_id", "band_val")
+    return (
+        bands.withColumn("grp_rep", F.min("doc_id").over(wb))
+        .groupBy("doc_id")
+        .agg(F.min("grp_rep").alias("rep_id"))
+        .withColumn("is_dup", F.col("doc_id") > F.col("rep_id"))
+    )
+
+
+SQL_PHASH_GROUPS = f"""
+WITH ph AS (
+  SELECT doc_id, {_PHASH_DUCK} AS phash FROM documents
+),
+bands AS (
+  SELECT doc_id, band_id,
+         (phash >> (band_id * {_BAND_BITS})) & {(1 << _BAND_BITS) - 1} AS band_val
+  FROM ph, (SELECT unnest(range(0, {_BANDS})) AS band_id) b
+),
+rep AS (
+  SELECT doc_id, band_id, band_val,
+         MIN(doc_id) OVER (PARTITION BY band_id, band_val) AS grp_rep
+  FROM bands
+)
+SELECT doc_id, MIN(grp_rep) AS rep_id, doc_id > MIN(grp_rep) AS is_dup
+FROM rep GROUP BY doc_id
+"""
+
+
 IMAGING = {
     "phash_hamming_pairs": (q_phash_hamming_pairs, SQL_PHASH_PAIRS),
+    "phash_dedup_groups": (q_phash_dedup_groups, SQL_PHASH_GROUPS),
 }
