@@ -47,6 +47,7 @@ HEADLINE = [
     "semantic_dedup_twostage",
     "phash_hamming_pairs",
     "phash_dedup_groups",
+    "ngram_topk",
 ]
 
 

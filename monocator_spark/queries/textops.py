@@ -53,6 +53,49 @@ _SHINGLE_DUCK = """
 """
 
 
+# -- per-language top-k n-grams (corpus vocabulary stats) -----------------------
+def q_ngram_topk(spark, sf_dir, n: int = 2, k: int = 5):
+    """Top-k bigrams per language — the corpus-analysis rollup every
+    training-data pipeline runs before filtering. Shape at 100 TB: one
+    partial-aggregated count shuffle on (lang, gram) — map-side combine
+    collapses the explosion before it moves — then a per-lang window top-k
+    over the tiny aggregate. Ties broken lexically so the result is total.
+    """
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents")
+    grams = d.select(
+        "lang",
+        F.expr(
+            "explode(transform(sequence(1, greatest(size(split(text, ' ')) - 1, 1)),"
+            " i -> array_join(slice(split(text, ' '), i, 2), ' ')))"
+        ).alias("gram"),
+    )
+    counts = grams.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("gram"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+        .select("lang", "gram", "n", "rk")
+    )
+
+
+SQL_NGRAM_TOPK = """
+WITH grams AS (
+  SELECT lang, array_to_string(toks[i:i+1], ' ') AS gram
+  FROM (SELECT lang, string_split(text, ' ') AS toks,
+               unnest(range(1, greatest(len(string_split(text, ' '))-1,1)+1)) AS i
+        FROM documents) t
+),
+counts AS (SELECT lang, gram, COUNT(*) AS n FROM grams GROUP BY lang, gram)
+SELECT lang, gram, n, rk FROM (
+  SELECT lang, gram, n,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, gram) AS rk
+  FROM counts) q
+WHERE rk <= 5
+"""
+
+
 # -- token counting ------------------------------------------------------------
 def q_token_count(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
@@ -494,6 +537,7 @@ FROM documents
 
 
 TEXTOPS = {
+    "ngram_topk": (q_ngram_topk, SQL_NGRAM_TOPK),
     "token_count": (q_token_count, SQL_TOKENS),
     "token_count_bpe": (q_token_count_bpe, SQL_TOKENS_BPE),
     "exact_dedup_docs": (q_exact_dedup_docs, SQL_EXACT_DEDUP),
