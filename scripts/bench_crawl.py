@@ -48,6 +48,15 @@ def main() -> None:
         action="store_true",
         help="don't set master/cores in-process; inherit from spark-submit",
     )
+    # O8/O12/O13 + O14 cost measurement: neither flag alters the schedule,
+    # so the order/seen checksums must equal the lean run's — the delta is
+    # the features' pure cost. (time politeness is NOT offered here: it
+    # changes the schedule, which would make urls/s incomparable.)
+    ap.add_argument("--tls", action="store_true", help="enable the TLS scan module")
+    ap.add_argument(
+        "--change-detection", action="store_true",
+        help="enable cross-epoch lag(phash) change detection",
+    )
     args = ap.parse_args()
 
     with open(os.path.join(args.world, "_WORLD_META.json")) as f:
@@ -80,6 +89,8 @@ def main() -> None:
         wave_size=args.wave_size,
         per_host_quota=args.per_host_quota,
         salt_per_host=args.salt,
+        tls_scan=args.tls,
+        change_detection=args.change_detection,
     )
     engine = CrawlEngine(spark, SnapshotStore(store_dir), args.world, cfg)
 
