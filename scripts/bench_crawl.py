@@ -50,12 +50,19 @@ def main() -> None:
     )
     # O8/O12/O13 + O14 cost measurement: neither flag alters the schedule,
     # so the order/seen checksums must equal the lean run's — the delta is
-    # the features' pure cost. (time politeness is NOT offered here: it
-    # changes the schedule, which would make urls/s incomparable.)
+    # the features' pure cost. --time-politeness is different: it SPREADS
+    # the schedule across more epochs, so its runs are only comparable to
+    # other --time-politeness runs.
     ap.add_argument("--tls", action="store_true", help="enable the TLS scan module")
     ap.add_argument(
         "--change-detection", action="store_true",
         help="enable cross-epoch lag(phash) change detection",
+    )
+    ap.add_argument(
+        "--time-politeness", action="store_true",
+        help="enable crawl-delay politeness (its OWN regime: the schedule"
+        " spreads across more epochs, so checksums are not comparable to"
+        " the lean run's — compare only against other --time-politeness runs)",
     )
     args = ap.parse_args()
 
@@ -91,6 +98,7 @@ def main() -> None:
         salt_per_host=args.salt,
         tls_scan=args.tls,
         change_detection=args.change_detection,
+        time_politeness=args.time_politeness,
     )
     engine = CrawlEngine(spark, SnapshotStore(store_dir), args.world, cfg)
 
