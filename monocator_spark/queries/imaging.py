@@ -26,6 +26,8 @@ LSH buckets, the right trade when the corpus is billions of images.)
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import functions as F
 
 from monocator_spark.queries.relational import T
@@ -167,7 +169,154 @@ FROM rep GROUP BY doc_id
 """
 
 
+# -- image resize / thumbnail (real codec + real resampling) -------------------
+# Brief: "decode / feature-extract / resize / frame-sample as Pandas UDFs
+# over mapInPandas". Testdata carries no image bytes, so the Spark side
+# synthesizes each payload with the engine's own deterministic codec
+# (functions/imaging.py — the same encode/decode the crawl validation path
+# uses), then does the full decode → nearest-neighbor downscale → re-encode
+# round trip inside Arrow batches. The emitted columns are exactly the ones
+# the oracle can derive arithmetically from the documented spec (dims from
+# doc_id; thumb_nbytes = 8-byte header + new_w*new_h payload for both
+# codecs), so the hash compare pins that the REAL resize produced a thumb
+# of exactly the specified geometry and encoding size. Pixel content is
+# pinned separately by tests/test_imaging.py (not SQL-expressible).
+_THUMB_MAXDIM = 16
+
+
+def q_image_resize_thumb(spark, sf_dir):
+    """decode → resize (nearest, aspect-preserving, max dim 16) → encode."""
+    d = T(spark, sf_dir, "documents").select("doc_id")
+
+    def resize_batches(it):
+        from monocator_spark.functions import imaging as img
+
+        for pdf in it:
+            ids = pdf["doc_id"].to_numpy()
+            w = 16 + ids % 49
+            h = 16 + (ids * 3) % 49
+            rows = {"doc_id": ids, "w": w.astype(np.int64), "h": h.astype(np.int64),
+                    "new_w": [], "new_h": [], "thumb_nbytes": []}
+            for i, doc in enumerate(ids):
+                fmt = "png" if doc % 2 == 0 else "jpeg"
+                payload = img.encode(img.pixels_for(str(doc), int(w[i]), int(h[i])), fmt)
+                px, got_fmt = img.decode(payload)
+                m = max(px.shape)
+                if m <= _THUMB_MAXDIM:
+                    thumb = px
+                else:
+                    nh = max(1, px.shape[0] * _THUMB_MAXDIM // m)
+                    nw = max(1, px.shape[1] * _THUMB_MAXDIM // m)
+                    # nearest-neighbor: src index = dst index * src // dst
+                    yi = (np.arange(nh) * px.shape[0]) // nh
+                    xi = (np.arange(nw) * px.shape[1]) // nw
+                    thumb = px[yi][:, xi]
+                enc = img.encode(thumb, got_fmt)
+                rows["new_h"].append(thumb.shape[0])
+                rows["new_w"].append(thumb.shape[1])
+                rows["thumb_nbytes"].append(len(enc))
+            out = pd.DataFrame(rows)
+            for c in ("new_w", "new_h", "thumb_nbytes"):
+                out[c] = out[c].astype(np.int64)
+            yield out
+
+    return d.mapInPandas(
+        resize_batches,
+        "doc_id long, w long, h long, new_w long, new_h long, thumb_nbytes long",
+    )
+
+
+SQL_RESIZE_THUMB = f"""
+WITH dims AS (
+  SELECT doc_id,
+         16 + doc_id % 49 AS w,
+         16 + (doc_id * 3) % 49 AS h
+  FROM documents
+),
+scaled AS (
+  SELECT doc_id, w, h,
+         CASE WHEN greatest(w, h) <= {_THUMB_MAXDIM} THEN w
+              ELSE greatest(1, (w * {_THUMB_MAXDIM}) // greatest(w, h)) END AS new_w,
+         CASE WHEN greatest(w, h) <= {_THUMB_MAXDIM} THEN h
+              ELSE greatest(1, (h * {_THUMB_MAXDIM}) // greatest(w, h)) END AS new_h
+  FROM dims
+)
+SELECT doc_id, w, h, new_w, new_h,
+       8 + new_w * new_h AS thumb_nbytes
+FROM scaled
+"""
+
+
+# -- video frame sampling (stub codec, real byte plumbing) ---------------------
+# No video libs in this container, so the "container format" is a stub per
+# the brief: the document's UTF-8 bytes stand in for the stream, carrying a
+# typed metadata column n_frames = 1 + doc_id % 240. The sampling spec is
+# real and the UDF really slices the frame byte-ranges out of the payload
+# (uniform frame_size = byte_len // n_frames; at most 8 frames, evenly
+# strided: stride = ceil(n_frames/8)). Every emitted column is derivable
+# from the spec, so the oracle pins the sampling arithmetic end-to-end.
+def q_frame_sample_stub(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        (1 + F.col("doc_id") % 240).cast("long").alias("n_frames"),
+    )
+
+    def sample_batches(it):
+        for pdf in it:
+            out_rows = []
+            for doc, payload, n_frames in zip(
+                pdf["doc_id"], pdf["payload"], pdf["n_frames"]
+            ):
+                n_frames = int(n_frames)
+                stride = -(-n_frames // 8)  # ceil
+                idxs = list(range(0, n_frames, stride))
+                fsz = len(payload) // n_frames
+                frames = [payload[i * fsz : (i + 1) * fsz] for i in idxs]
+                out_rows.append(
+                    (
+                        int(doc),
+                        n_frames,
+                        len(idxs),
+                        idxs[-1],
+                        sum(len(fb) for fb in frames),
+                    )
+                )
+            yield pd.DataFrame(
+                out_rows,
+                columns=["doc_id", "n_frames", "n_sampled", "last_idx", "sampled_bytes"],
+            ).astype(np.int64)
+
+    return d.mapInPandas(
+        sample_batches,
+        "doc_id long, n_frames long, n_sampled long, last_idx long, sampled_bytes long",
+    )
+
+
+SQL_FRAME_SAMPLE = """
+WITH meta AS (
+  SELECT doc_id,
+         1 + doc_id % 240 AS n_frames,
+         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+  FROM documents
+),
+samp AS (
+  SELECT doc_id, n_frames,
+         (n_frames + 7) // 8 AS stride,
+         byte_len // n_frames AS frame_size
+  FROM meta
+)
+SELECT doc_id, n_frames,
+       (n_frames + stride - 1) // stride AS n_sampled,
+       stride * ((n_frames + stride - 1) // stride - 1) AS last_idx,
+       ((n_frames + stride - 1) // stride) * frame_size AS sampled_bytes
+FROM samp
+"""
+
+
 IMAGING = {
     "phash_hamming_pairs": (q_phash_hamming_pairs, SQL_PHASH_PAIRS),
     "phash_dedup_groups": (q_phash_dedup_groups, SQL_PHASH_GROUPS),
+    "image_resize_thumb": (q_image_resize_thumb, SQL_RESIZE_THUMB),
+    "frame_sample_stub": (q_frame_sample_stub, SQL_FRAME_SAMPLE),
 }

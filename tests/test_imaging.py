@@ -57,3 +57,24 @@ def test_corpus_phash_recomputable_from_decode():
 def test_corrupt_decode_raises(junk):
     with pytest.raises(ValueError):
         decode(junk)
+
+
+def test_resize_nearest_pixel_content():
+    """The SQL oracle for image_resize_thumb pins geometry + encoded size;
+    this pins the half it can't: the thumbnail's actual pixel values under
+    the nearest-neighbor spec (src = dst * src_dim // dst_dim)."""
+    px = pixels_for("42", 63, 30)  # doc_id 42 under the op's dim rule
+    m = max(px.shape)
+    nh = max(1, px.shape[0] * 16 // m)
+    nw = max(1, px.shape[1] * 16 // m)
+    yi = (np.arange(nh) * px.shape[0]) // nh
+    xi = (np.arange(nw) * px.shape[1]) // nw
+    thumb = px[yi][:, xi]
+    assert thumb.shape == (nh, nw)
+    # every thumb pixel is an exact source pixel at the spec'd index
+    for r in range(nh):
+        for c in range(nw):
+            assert thumb[r, c] == px[(r * px.shape[0]) // nh, (c * px.shape[1]) // nw]
+    # lossless round trip of the thumbnail through the codec
+    got, fmt = decode(encode(thumb, "png"))
+    assert fmt == "png" and np.array_equal(got, thumb)
