@@ -241,7 +241,7 @@ def write_world(
     pdf = build_corpus(n_images, corrupt_ids=corrupt_ids, oversize_ids=oversize_ids)
     spark.createDataFrame(pdf, corpus_schema).repartition(8).write.mode(
         "overwrite"
-    ).parquet(f"{out_dir}/corpus")
+    ).option("compression", "uncompressed").parquet(f"{out_dir}/corpus")
 
     seeds = build_seeds(n_seeds, n_images, n_hosts)
     spark.createDataFrame(seeds).write.mode("overwrite").parquet(f"{out_dir}/seeds")

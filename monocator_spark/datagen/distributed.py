@@ -170,7 +170,11 @@ def write_world_distributed(
     corpus_src = spark.range(n_images, numPartitions=p).mapInPandas(
         _corpus_batches_factory(tiny_images), CORPUS_SCHEMA
     )
-    corpus_src.write.mode("overwrite").parquet(f"{out_dir}/corpus")
+    # image payloads are already PNG/JPEG-compressed — snappy on top is a
+    # pure codec tax on every later corpus scan (same policy as the store)
+    corpus_src.write.mode("overwrite").option(
+        "compression", "uncompressed"
+    ).parquet(f"{out_dir}/corpus")
     if bucket_corpus:
         import shutil
 
@@ -182,6 +186,7 @@ def write_world_distributed(
             .format("parquet")
             .bucketBy(CORPUS_BUCKETS, "image_id")
             .sortBy("image_id")
+            .option("compression", "uncompressed")
             .option("path", f"{out_dir}/corpus_bucketed")
             .saveAsTable("corpus_bucketed")
         )

@@ -104,6 +104,10 @@ class IcebergStore:
         return out
 
     # -- staged writes (same signatures as SnapshotStore) ----------------------
+    # On real Iceberg, SnapshotStore's payload-codec policy (uncompressed
+    # parquet for binary-payload tables — see sources/store.py:_writer) maps
+    # to the table property `write.parquet.compression-codec=uncompressed`,
+    # set once at CREATE TABLE for fetched/bloom tables.
     def stage_append(self, table: str, df: DataFrame, epoch: int) -> None:
         w = df.writeTo(self._tbl(table))
         try:
