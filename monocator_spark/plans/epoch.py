@@ -86,28 +86,55 @@ class CrawlEngine:
         self.host_state = spark.read.parquet(f"{world_dir}/host_state").cache()
 
     # -- bootstrap -------------------------------------------------------------
-    def bootstrap(self) -> None:
-        """Epoch-0 commit: seeds → gate → frontier, seen set, Bloom shards.
+    def bootstrap(self):
+        """Epoch-0 staging: seeds → gate → frontier, seen set, Bloom shards.
 
         The robots/blacklist/budget gate runs HERE (once per URL), so the
         frontier only ever holds schedulable rows with their quota attached
         — no per-epoch re-gating of the whole frontier. Denied seeds are
         recorded at epoch 0, exactly when the reference simulator's first
         gate pass denies them.
+
+        Returns a TAIL closure (denied write + the epoch-0 commit) for the
+        caller to run on the ordered flusher thread: epoch 0's compute only
+        needs the three STATE tables, which are staged here (concurrently —
+        their serial job-launch latency was pure fixed cost at every
+        parallelism level) and readable via ``preview`` before the commit
+        lands, exactly like the inter-epoch pipelining. A kill before the
+        tail commits leaves no manifest → clean re-bootstrap on resume.
         """
         seeds = self.spark.read.parquet(f"{self.world_dir}/seeds").withColumn(
             "depth", F.lit(0)
         )
         cands = enqueue.dedup_within_batch(enqueue.prepare_candidates(seeds)).cache()
+        # materialize the cache once so the concurrent writes below all
+        # read it instead of racing to build it multiple times
+        cands.count()
         admitted, denied = politeness.gate(cands, self.host_state, self.cfg)
         seen = cands.select("url_hash", "url_norm")
         bloom = dedup.build_shards(cands.select("url_hash"), self.cfg)
-        self.store.stage_overwrite("frontier", admitted.select(*FRONTIER_COLS_Q), 0)
-        self.store.stage_append("seen", seen, 0)
-        self.store.stage_append("denied", denied.withColumn("epoch", F.lit(0)), 0)
-        self.store.stage_overwrite("bloom", dedup.merge_shards(None, bloom, self.cfg), 0)
-        self.store.commit(0, {"crawl_epoch": -1})
-        cands.unpersist()
+        writes = [
+            lambda: self.store.stage_overwrite(
+                "frontier", admitted.select(*FRONTIER_COLS_Q), 0
+            ),
+            lambda: self.store.stage_append("seen", seen, 0),
+            lambda: self.store.stage_overwrite(
+                "bloom", dedup.merge_shards(None, bloom, self.cfg), 0
+            ),
+        ]
+        with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+            for fut in [pool.submit(w) for w in writes]:
+                fut.result()
+
+        def tail() -> dict:
+            self.store.stage_append(
+                "denied", denied.withColumn("epoch", F.lit(0)), 0
+            )
+            self.store.commit(0, {"crawl_epoch": -1})
+            cands.unpersist()
+            return {"idle": True}  # bookkeeping only — not a crawl epoch
+
+        return tail
 
     # -- one epoch, two pipelined phases ----------------------------------------
     #
@@ -503,9 +530,15 @@ class CrawlEngine:
         import threading
 
         t0 = time.monotonic()
+        boot_tail = None
         if self.store.last_epoch() is None:
-            self.bootstrap()
-        start = self.store.meta()["crawl_epoch"] + 1
+            # stages the epoch-0 state tables synchronously (readable via
+            # preview) and defers the denied write + commit to the flusher,
+            # overlapping them with epoch 0's compute
+            boot_tail = self.bootstrap()
+            start = 0
+        else:
+            start = self.store.meta()["crawl_epoch"] + 1
         stats = RunStats()
         abort = threading.Event()
 
@@ -529,6 +562,16 @@ class CrawlEngine:
 
         flusher = ThreadPoolExecutor(max_workers=1)
         futures = []
+        if boot_tail is not None:
+
+            def boot_safe(tail=boot_tail):
+                try:
+                    return tail()
+                except BaseException:
+                    abort.set()
+                    raise
+
+            futures.append(flusher.submit(boot_safe))
         prev_ev: threading.Event | None = None
         phase1_exc: BaseException | None = None
         try:
