@@ -95,14 +95,29 @@ class CrawlEngine:
         recorded at epoch 0, exactly when the reference simulator's first
         gate pass denies them.
 
-        Returns a TAIL closure (denied write + the epoch-0 commit) for the
-        caller to run on the ordered flusher thread: epoch 0's compute only
-        needs the three STATE tables, which are staged here (concurrently —
-        their serial job-launch latency was pure fixed cost at every
-        parallelism level) and readable via ``preview`` before the commit
-        lands, exactly like the inter-epoch pipelining. A kill before the
-        tail commits leaves no manifest → clean re-bootstrap on resume.
+        The only synchronous work is materializing the canonicalized seed
+        set (the cands cache). Epoch 0 then reads the three STATE tables as
+        in-memory plans over that cache (``self._boot_state``); ALL durable
+        writes (frontier / seen / bloom / denied) plus the epoch-0 commit
+        run in the returned TAIL closure on the ordered flusher thread,
+        overlapping epoch 0's compute — their job latency was pure fixed
+        cost at every parallelism level. The flusher runs the tail before
+        epoch 0's own _phase2, so epoch 1's ``preview`` sees the staged
+        state; a kill before the tail commits leaves no manifest → clean
+        re-bootstrap on resume.
         """
+        import os
+
+        _debug = bool(os.environ.get("MONO_EPOCH_TIMING"))
+        _t0 = time.monotonic()
+
+        def _bmark(label: str) -> None:
+            if _debug:
+                print(
+                    f"[timing] boot.{label} @ {time.monotonic() - _t0:.2f}s",
+                    flush=True,
+                )
+
         seeds = self.spark.read.parquet(f"{self.world_dir}/seeds").withColumn(
             "depth", F.lit(0)
         )
@@ -110,28 +125,63 @@ class CrawlEngine:
         # materialize the cache once so the concurrent writes below all
         # read it instead of racing to build it multiple times
         cands.count()
+        _bmark("cands_materialized")
         admitted, denied = politeness.gate(cands, self.host_state, self.cfg)
         seen = cands.select("url_hash", "url_norm")
-        bloom = dedup.build_shards(cands.select("url_hash"), self.cfg)
-        writes = [
-            lambda: self.store.stage_overwrite(
-                "frontier", admitted.select(*FRONTIER_COLS_Q), 0
-            ),
-            lambda: self.store.stage_append("seen", seen, 0),
-            lambda: self.store.stage_overwrite(
-                "bloom", dedup.merge_shards(None, bloom, self.cfg), 0
-            ),
-        ]
-        with ThreadPoolExecutor(max_workers=len(writes)) as pool:
-            for fut in [pool.submit(w) for w in writes]:
-                fut.result()
+        bloom = dedup.merge_shards(
+            None, dedup.build_shards(cands.select("url_hash"), self.cfg), self.cfg
+        ).cache()  # small (n_shards rows); read by epoch 0 AND the tail write
+        frontier0 = admitted.select(*FRONTIER_COLS_Q)
+
+        if os.environ.get("MONO_BOOT_HANDOFF", "1") == "0":
+            # A/B escape hatch: stage the state synchronously (the
+            # pre-handoff behavior) instead of handing epoch 0 the
+            # in-memory plans
+            writes = [
+                lambda: self.store.stage_overwrite("frontier", frontier0, 0),
+                lambda: self.store.stage_append("seen", seen, 0),
+                lambda: self.store.stage_overwrite("bloom", bloom, 0),
+            ]
+            with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+                for fut in [pool.submit(w) for w in writes]:
+                    fut.result()
+            bloom.unpersist()
+            _bmark("state_staged_sync")
+
+            def tail_sync() -> dict:
+                self.store.stage_append(
+                    "denied", denied.withColumn("epoch", F.lit(0)), 0
+                )
+                self.store.commit(0, {"crawl_epoch": -1})
+                cands.unpersist()
+                return {"idle": True}
+
+            return tail_sync
+
+        # epoch 0 reads this state straight from the in-memory plans over
+        # the cands cache — no parquet round trip on the critical path. The
+        # durable writes run in the TAIL on the ordered flusher, which is
+        # guaranteed to finish before epoch 0's _phase2 stages its own
+        # state, so epoch 1's preview sees them; a kill before the tail
+        # commits leaves no manifest → clean re-bootstrap on resume.
+        self._boot_state = {"frontier": frontier0, "seen": seen, "bloom": bloom}
+        self._boot_persist = [cands, bloom]
+        _bmark("state_ready_in_memory")
 
         def tail() -> dict:
-            self.store.stage_append(
-                "denied", denied.withColumn("epoch", F.lit(0)), 0
-            )
+            writes = [
+                lambda: self.store.stage_overwrite("frontier", frontier0, 0),
+                lambda: self.store.stage_append("seen", seen, 0),
+                lambda: self.store.stage_overwrite("bloom", bloom, 0),
+                lambda: self.store.stage_append(
+                    "denied", denied.withColumn("epoch", F.lit(0)), 0
+                ),
+            ]
+            with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+                for fut in [pool.submit(w) for w in writes]:
+                    fut.result()
             self.store.commit(0, {"crawl_epoch": -1})
-            cands.unpersist()
+            _bmark("tail_committed")
             return {"idle": True}  # bookkeeping only — not a crawl epoch
 
         return tail
@@ -172,10 +222,21 @@ class CrawlEngine:
         persisted: list = []  # this epoch's caches; released by its _phase2
         if state_ready is not None:
             state_ready.wait()  # previous epoch's state tables staged
-        pending = self.store.preview(self.spark, "frontier").cache()
+        boot = getattr(self, "_boot_state", None)
+        if boot is not None:
+            # epoch 0 right after bootstrap: state comes from the in-memory
+            # plans over the bootstrap's cands cache (the durable writes are
+            # in flight on the flusher); later epochs read staged parquet.
+            pending = boot["frontier"].cache()
+            seen, bloom = boot["seen"], boot["bloom"]
+            persisted.extend(self._boot_persist)
+            self._boot_state = None
+            self._boot_persist = []
+        else:
+            pending = self.store.preview(self.spark, "frontier").cache()
+            seen = self.store.preview(self.spark, "seen")
+            bloom = self.store.preview(self.spark, "bloom")
         persisted.append(pending)
-        seen = self.store.preview(self.spark, "seen")
-        bloom = self.store.preview(self.spark, "bloom")
 
         # the frontier is pre-gated at enqueue time (quota on every row):
         # the whole of pending is schedulable by construction. The wave is
@@ -527,15 +588,26 @@ class CrawlEngine:
         background thread) overlaps epoch k+1's compute. Commits still land
         strictly in epoch order, so a kill at any moment resumes exactly.
         """
+        import os
         import threading
 
         t0 = time.monotonic()
+        _debug = bool(os.environ.get("MONO_EPOCH_TIMING"))
+
+        def _land(label: str) -> None:
+            if _debug:
+                print(
+                    f"[timing] {label} @ {time.monotonic() - t0:.2f}s",
+                    flush=True,
+                )
+
         boot_tail = None
         if self.store.last_epoch() is None:
             # stages the epoch-0 state tables synchronously (readable via
             # preview) and defers the denied write + commit to the flusher,
             # overlapping them with epoch 0's compute
             boot_tail = self.bootstrap()
+            _land("bootstrap_ready")
             start = 0
         else:
             start = self.store.meta()["crawl_epoch"] + 1
@@ -579,6 +651,7 @@ class CrawlEngine:
                 if abort.is_set():
                     break
                 ctx = self._phase1(epoch, prev_ev)
+                _land(f"phase1_done e{epoch}")
                 if ctx is None:
                     break
                 ev = threading.Event()
@@ -591,6 +664,7 @@ class CrawlEngine:
             phase1_exc = e
         finally:
             flusher.shutdown(wait=True)
+            _land("drain_done")
         flush_exc: BaseException | None = None
         for fut in futures:
             try:

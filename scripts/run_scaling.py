@@ -24,12 +24,11 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
-def run_level_best(args: argparse.Namespace, cores: int) -> dict:
+def _pick_best(reps: list[dict]) -> dict:
     """Best of --reps runs: the sandbox host shows 1.5-2x run-to-run noise
     (shared hypervisor); best-of-N approximates the uncontended machine at
     each level, which is what the scaling criterion is about. All reps'
     numbers are kept in the result for transparency."""
-    reps = [run_level(args, cores) for _ in range(args.reps)]
     best = min(reps, key=lambda r: r["elapsed_sec"])
     assert all(
         r["order_checksum"] == best["order_checksum"]
@@ -39,6 +38,19 @@ def run_level_best(args: argparse.Namespace, cores: int) -> dict:
     best["all_reps_elapsed_sec"] = [r["elapsed_sec"] for r in reps]
     best["all_reps_urls_per_sec"] = [r["urls_per_sec"] for r in reps]
     return best
+
+
+def run_levels(args: argparse.Namespace) -> tuple[dict, dict]:
+    """Run both levels' reps INTERLEAVED (small, large, small, large, ...)
+    so slow drift in the shared host's capacity hits both levels equally
+    instead of whichever level's block caught the quiet window — the
+    efficiency ratio is what the gate reads, so drift between the two
+    blocks is the one noise source best-of-N can't wash out."""
+    small_reps, large_reps = [], []
+    for _ in range(args.reps):
+        small_reps.append(run_level(args, args.n_small))
+        large_reps.append(run_level(args, args.n_large))
+    return _pick_best(small_reps), _pick_best(large_reps)
 
 
 def run_level(args: argparse.Namespace, cores: int) -> dict:
@@ -87,6 +99,8 @@ def main() -> None:
     ap.add_argument("--salt", type=int, default=16)
     ap.add_argument("--reps", type=int, default=2,
                     help="repetitions per level; best run is reported")
+    ap.add_argument("--out", default=None,
+                    help="summary JSON path (default BENCH/results_scaling.json)")
     ap.add_argument("--no-bucket", action="store_true",
                     help="use the plain parquet corpus (broadcast fetch join)")
     ap.add_argument("--tiny", action="store_true",
@@ -108,8 +122,7 @@ def main() -> None:
     )
     print(f"world ready: {meta}", flush=True)
 
-    small = run_level_best(args, args.n_small)
-    large = run_level_best(args, args.n_large)
+    small, large = run_levels(args)
 
     det_ok = (
         small["order_checksum"] == large["order_checksum"]
@@ -132,7 +145,8 @@ def main() -> None:
         "large": large,
     }
     (REPO / "BENCH").mkdir(exist_ok=True)
-    with open(REPO / "BENCH" / "results_scaling.json", "w") as f:
+    out_path = Path(args.out) if args.out else REPO / "BENCH" / "results_scaling.json"
+    with open(out_path, "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps({k: summary[k] for k in (
         "deterministic_across_levels", "thr_small", "thr_large",
