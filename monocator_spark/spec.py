@@ -31,6 +31,22 @@ BLOOM_SHARDS = 32         # power of two; shard = url_hash & (BLOOM_SHARDS-1)
 BLOOM_BITS_PER_SHARD = 1 << 20   # 128 KiB/shard locally; sized up at scale
 BLOOM_NUM_HASHES = 7
 
+
+def bloom_bits_for(n_expected: int, shards: int = BLOOM_SHARDS) -> int:
+    """Bits/shard sized for ~n_expected TOTAL insertions across all shards.
+
+    ≥16 bits per element with k=7 keeps the false-positive rate ≤~0.1%;
+    undersizing is a silent superlinear cost, not a correctness bug (every
+    maybe-seen row takes the exact-confirm join, so a 30% FP rate turns the
+    O(new) dedup into an O(candidates) shuffle join — measured on the
+    6M-image bench world before this sizing existed). Rounded up to a power
+    of two, floor at the local default.
+    """
+    import math
+
+    need = max(BLOOM_BITS_PER_SHARD, (16 * max(1, n_expected)) // shards)
+    return 1 << math.ceil(math.log2(need))
+
 # ---- time-based politeness --------------------------------------------------
 # Logical epoch tick: epoch_ts = epoch * EPOCH_MS. A host scheduled in epoch
 # e becomes eligible again at the first f with f*EPOCH_MS >= e*EPOCH_MS +

@@ -96,6 +96,8 @@ def main() -> None:
         wave_size=args.wave_size,
         per_host_quota=args.per_host_quota,
         salt_per_host=args.salt,
+        # the URL universe is one URL per image: size the Bloom for it
+        bloom_bits_per_shard=spec.bloom_bits_for(meta["n_images"]),
         tls_scan=args.tls,
         change_detection=args.change_detection,
         time_politeness=args.time_politeness,
@@ -127,6 +129,7 @@ def main() -> None:
             wave_size=max(20_000, args.wave_size // 8),
             per_host_quota=args.per_host_quota,
             salt_per_host=args.salt,
+            bloom_bits_per_shard=spec.bloom_bits_for(meta["n_images"]),
         )
         CrawlEngine(spark, SnapshotStore(wstore), args.world, wcfg).run(max_epochs=1)
         shutil.rmtree(wstore, ignore_errors=True)
