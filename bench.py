@@ -48,6 +48,7 @@ HEADLINE = [
     "phash_hamming_pairs",
     "phash_dedup_groups",
     "ngram_topk",
+    "tfidf_topk",
     "image_resize_thumb",
     "frame_sample_stub",
 ]

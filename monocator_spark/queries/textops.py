@@ -80,6 +80,66 @@ def q_ngram_topk(spark, sf_dir, n: int = 2, k: int = 5):
     )
 
 
+def q_tfidf_topk(spark, sf_dir, k: int = 5, min_len: int = 3):
+    """Top-k TF-IDF terms per document — the feature-extraction pass behind
+    classic quality filters and nearest-neighbor text search.
+
+    Uses the LINEAR idf variant (score = tf · N/df, no log): with integer
+    operands ≤ 2^53 the IEEE double division is exactly specified, so the
+    score is bit-identical in every engine — the file's parity rule
+    ("doubles only from identical-operand divisions") — where ln() could
+    differ in the last ulp and flip a rank. Shape at 100 TB: the term
+    explosion collapses in map-side partial aggregation before it shuffles
+    once on (doc_id, term); document frequency is a second, far smaller
+    shuffle on term; N is one broadcast scalar. The tf ⋈ df join keys on
+    term, which is Zipf-skewed — at scale broadcast the df side (it is
+    O(vocabulary), tiny next to tf) so no skewed shuffle exists.
+    """
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents")
+    n_docs = d.count()  # one scalar; the broadcast N of the formula
+    terms = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term"),
+    ).where(F.length("term") >= min_len)
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+        "score",
+        F.round((F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df"), 6),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+        .select("doc_id", "term", "tf", "df", "score", "rk")
+    )
+
+
+SQL_TFIDF_TOPK = """
+WITH terms AS (
+  SELECT doc_id, term
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
+        FROM documents) t
+  WHERE length(term) >= 3
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, term, tf, df, score, rk FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         ROUND(CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df, 6) AS score,
+         ROW_NUMBER() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY ROUND(CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df, 6) DESC,
+                    tf.term) AS rk
+  FROM tf, dfreq, n WHERE tf.term = dfreq.term) q
+WHERE rk <= 5
+"""
+
+
 SQL_NGRAM_TOPK = """
 WITH grams AS (
   SELECT lang, array_to_string(toks[i:i+1], ' ') AS gram
@@ -538,6 +598,7 @@ FROM documents
 
 TEXTOPS = {
     "ngram_topk": (q_ngram_topk, SQL_NGRAM_TOPK),
+    "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "token_count": (q_token_count, SQL_TOKENS),
     "token_count_bpe": (q_token_count_bpe, SQL_TOKENS_BPE),
     "exact_dedup_docs": (q_exact_dedup_docs, SQL_EXACT_DEDUP),
