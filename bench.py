@@ -49,6 +49,7 @@ HEADLINE = [
     "phash_dedup_groups",
     "ngram_topk",
     "tfidf_topk",
+    "sample_stratified",
     "image_resize_thumb",
     "frame_sample_stub",
 ]

@@ -117,6 +117,46 @@ def q_tfidf_topk(spark, sf_dir, k: int = 5, min_len: int = 3):
     )
 
 
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic hash-stratified downsampling to a balanced corpus —
+    the split/balance step every training-data pipeline runs before
+    training (language balancing here; the same shape does train/held-out
+    splits). Keep probability per language = min_lang_count / lang_count,
+    applied as a pure function of doc_id (`md5‰ < rate`), so the sample is
+    reproducible row-for-row on any cluster size, needs no global sort or
+    sampling pass, and a rerun over 100 TB keeps exactly the same rows.
+    Shape: one tiny per-lang count aggregate broadcast back over the
+    corpus scan — the corpus itself is filtered in place, never shuffled.
+    """
+    d = T(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    min_n = counts.agg(F.min("n_lang").alias("m"))
+    rates = counts.crossJoin(F.broadcast(min_n)).select(
+        "lang",
+        # permille via INTEGER division (`div` / `//`) — no double ever
+        # exists, so every engine floors identically
+        F.expr("m * 1000 div n_lang").cast("long").alias("keep_pm"),
+    )
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .where(
+            F.expr(_md5long("cast(doc_id as string)")) % 1000 < F.col("keep_pm")
+        )
+        .select("doc_id", "lang", "keep_pm")
+    )
+
+
+SQL_SAMPLE_STRATIFIED = f"""
+WITH counts AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang),
+m AS (SELECT MIN(n_lang) AS m FROM counts),
+rates AS (SELECT lang, CAST((m.m * 1000) // n_lang AS BIGINT) AS keep_pm
+          FROM counts, m)
+SELECT d.doc_id, d.lang, rates.keep_pm
+FROM documents d JOIN rates ON d.lang = rates.lang
+WHERE {_md5long_duck('CAST(d.doc_id AS VARCHAR)')} % 1000 < rates.keep_pm
+"""
+
+
 SQL_TFIDF_TOPK = """
 WITH terms AS (
   SELECT doc_id, term
@@ -599,6 +639,7 @@ FROM documents
 TEXTOPS = {
     "ngram_topk": (q_ngram_topk, SQL_NGRAM_TOPK),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
+    "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "token_count": (q_token_count, SQL_TOKENS),
     "token_count_bpe": (q_token_count_bpe, SQL_TOKENS_BPE),
     "exact_dedup_docs": (q_exact_dedup_docs, SQL_EXACT_DEDUP),
