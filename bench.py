@@ -50,6 +50,7 @@ HEADLINE = [
     "ngram_topk",
     "tfidf_topk",
     "sample_stratified",
+    "vat_scrape_decision",
     "image_resize_thumb",
     "frame_sample_stub",
 ]

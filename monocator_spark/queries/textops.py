@@ -117,6 +117,73 @@ def q_tfidf_topk(spark, sf_dir, k: int = 5, min_len: int = 3):
     )
 
 
+def q_vat_scrape_decision(spark, sf_dir):
+    """The reference VatScraperTest decision table as a relational op
+    (/root/reference/src/mock-servers.MD:9-21): per site, scan pages in
+    order and keep the FIRST VAT number that passes BOTH the format check
+    and the checksum — `wrongFormat => ok(rejected)`, `wrongCheckSum =>
+    ok(rejected)`, `noVatOnFirstPage`/`vatFoundOnSecondPage` => later pages
+    win only when earlier ones have nothing valid.
+
+    The synthetic corpus has no digits, so the candidate column is DERIVED
+    deterministically from doc_id with all four branches present (valid /
+    bad-checksum / bad-format / absent); the op's substance is the
+    validation arithmetic (Belgian mod-97: last two digits == 97 − (first
+    eight digits mod 97)), the regexp format gate, and the first-valid-
+    page-per-site window — integer-exact in every engine. Shape at 100 TB:
+    a scan-local projection + filter, then a min-per-site aggregate join —
+    no skew, page text never shuffles.
+    """
+    d = T(spark, sf_dir, "documents")
+    base = "cast((doc_id * 131) % 10000000 as bigint)"  # 7-digit payload
+    first8 = f"'0' || lpad(cast({base} as string), 7, '0')"
+    check = f"lpad(cast(97 - (cast({first8} as bigint) % 97) as string), 2, '0')"
+    cand = (
+        f"CASE cast(doc_id % 4 as int) "
+        f"WHEN 0 THEN 'BE' || {first8} || {check} "
+        f"WHEN 1 THEN 'BE' || {first8} || "
+        f"  lpad(cast((97 - (cast({first8} as bigint) % 97) + 1) % 100 as string), 2, '0') "
+        f"WHEN 2 THEN 'BEX' || {first8} "
+        f"ELSE NULL END"
+    )
+    pages = d.select("source", "doc_id", F.expr(cand).alias("vat_raw"))
+    valid = pages.where(
+        F.col("vat_raw").rlike("^BE[0-9]{10}$")
+        & (
+            F.expr("cast(substr(vat_raw, 11, 2) as bigint)")
+            == 97 - F.expr("cast(substr(vat_raw, 3, 8) as bigint)") % 97
+        )
+    )
+    first = valid.groupBy("source").agg(F.min("doc_id").alias("doc_id"))
+    return first.join(valid, ["source", "doc_id"]).select(
+        "source", "doc_id", F.col("vat_raw").alias("vat")
+    )
+
+
+SQL_VAT_SCRAPE = """
+WITH pages AS (
+  SELECT source, doc_id,
+         CASE CAST(doc_id % 4 AS INT)
+           WHEN 0 THEN 'BE' || first8 || lpad(CAST(97 - (CAST(first8 AS BIGINT) % 97) AS VARCHAR), 2, '0')
+           WHEN 1 THEN 'BE' || first8 || lpad(CAST((97 - (CAST(first8 AS BIGINT) % 97) + 1) % 100 AS VARCHAR), 2, '0')
+           WHEN 2 THEN 'BEX' || first8
+           ELSE NULL END AS vat_raw
+  FROM (SELECT source, doc_id,
+               '0' || lpad(CAST(CAST((doc_id * 131) % 10000000 AS BIGINT) AS VARCHAR), 7, '0') AS first8
+        FROM documents) t
+),
+valid AS (
+  SELECT source, doc_id, vat_raw FROM pages
+  WHERE regexp_matches(vat_raw, '^BE[0-9]{10}$')
+    AND CAST(substr(vat_raw, 11, 2) AS BIGINT)
+        = 97 - (CAST(substr(vat_raw, 3, 8) AS BIGINT) % 97)
+),
+first AS (SELECT source, MIN(doc_id) AS doc_id FROM valid GROUP BY source)
+SELECT valid.source, valid.doc_id, valid.vat_raw AS vat
+FROM first JOIN valid ON first.source = valid.source AND first.doc_id = valid.doc_id
+"""
+
+
 def q_sample_stratified(spark, sf_dir):
     """Deterministic hash-stratified downsampling to a balanced corpus —
     the split/balance step every training-data pipeline runs before
@@ -640,6 +707,7 @@ TEXTOPS = {
     "ngram_topk": (q_ngram_topk, SQL_NGRAM_TOPK),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
+    "vat_scrape_decision": (q_vat_scrape_decision, SQL_VAT_SCRAPE),
     "token_count": (q_token_count, SQL_TOKENS),
     "token_count_bpe": (q_token_count_bpe, SQL_TOKENS_BPE),
     "exact_dedup_docs": (q_exact_dedup_docs, SQL_EXACT_DEDUP),
