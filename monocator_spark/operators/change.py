@@ -54,36 +54,65 @@ def decision_col() -> F.Column:
 
 
 def with_screenshot(
-    ok: DataFrame, hist: DataFrame | None, epoch: int
+    ok: DataFrame, hist: DataFrame | None, epoch: int,
+    cfg: spec.CrawlConfig | None = None,
 ) -> DataFrame:
     """ok(fetched-OK rows) → + (prior_phash, policy, screenshot) columns.
 
     ``hist`` is the fetched table as of the previous epoch (None on the
     first epoch or when change detection is disabled — every row then
     counts as a first fetch, prior_phash null).
+
+    Tie + identity discipline (matching the simulator's sequential
+    ``last_phash`` update by wave position): the lag window is totally
+    ordered by (fetch_epoch, wave_pos) — never fetch_epoch alone, whose
+    ties would break nondeterministically — and the looked-up prior is
+    joined back on ``url_hash``, unique per wave row, so two same-epoch
+    fetches of one image each get exactly one prior (the second one's prior
+    is the first one's phash), not a cross-product on image_id.
+
+    The history prune and prior join build from wave-bounded sides —
+    broadcast below cfg.wave_broadcast_max, shuffle join above it (a
+    10^8-row wave cannot be a driver broadcast).
     """
-    if hist is None:
+    from monocator_spark.operators.hints import wave_side
+
+    detecting = cfg is not None and cfg.change_detection
+
+    def _ws(df: DataFrame) -> DataFrame:
+        return wave_side(df, cfg) if cfg is not None else F.broadcast(df)
+
+    if hist is None and not detecting:
+        # detection off: every fetch is a first fetch by definition
         out = ok.withColumn("prior_phash", F.lit(None).cast("long"))
     else:
-        cur_keys = ok.select("image_id").distinct()
-        # prune history to the wave's images BEFORE the window: the lag
-        # runs over O(wave) rows, never the whole fetched table
-        hist_w = (
-            hist.select("image_id", "fetch_epoch", "phash")
-            .join(F.broadcast(cur_keys), "image_id", "left_semi")
-            .unionByName(
-                ok.select(
-                    "image_id", F.lit(epoch).alias("fetch_epoch"), "phash"
-                )
-            )
+        cur = ok.select(
+            "image_id", F.lit(epoch).alias("fetch_epoch"), "wave_pos",
+            "phash", "url_hash",
         )
-        w = Window.partitionBy("image_id").orderBy("fetch_epoch")
+        if hist is None:
+            # detecting but no history yet (epoch 0): the window still runs
+            # over the wave alone — a SAME-epoch duplicate image's second
+            # fetch must see the first's phash (simulator's sequential
+            # last_phash update by wave position)
+            hist_w = cur
+        else:
+            cur_keys = ok.select("image_id").distinct()
+            # prune history to the wave's images BEFORE the window: the lag
+            # runs over O(wave) rows, never the whole fetched table
+            hist_w = (
+                hist.select("image_id", "fetch_epoch", "wave_pos", "phash")
+                .join(_ws(cur_keys), "image_id", "left_semi")
+                .withColumn("url_hash", F.lit(None).cast("long"))
+                .unionByName(cur)
+            )
+        w = Window.partitionBy("image_id").orderBy("fetch_epoch", "wave_pos")
         prior = (
             hist_w.withColumn("prior_phash", F.lag("phash").over(w))
             .where(F.col("fetch_epoch") == epoch)
-            .select("image_id", "prior_phash")
+            .select("url_hash", "prior_phash")
         )
-        out = ok.join(F.broadcast(prior), "image_id", "left")
+        out = ok.join(_ws(prior), "url_hash", "left")
     return out.withColumn("policy", policy_col()).withColumn(
         "screenshot", decision_col()
     )

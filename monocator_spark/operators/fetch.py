@@ -94,12 +94,20 @@ def fetch_wave(
 
     Validation (the decode/PSNR/caption pandas UDF) runs only on hit rows;
     misses are MISSING by construction and never cross the Arrow boundary.
+
+    Both wave-bounded join sides (the wave itself and the hit-key set) are
+    broadcast only below cfg.wave_broadcast_max; above it the joins fall
+    back to shuffle joins (the bucketed layout, ``fetch_wave_bucketed``, is
+    the intended at-scale path — this fallback keeps the generic path
+    correct rather than OOMing the driver on a 10^8-row wave).
     """
+    from monocator_spark.operators.hints import wave_side
+
     keyed = wave.withColumn("image_id", F.substring_index("url_norm", "/", -1))
-    bkeyed = F.broadcast(keyed)
+    bkeyed = wave_side(keyed, cfg)
     hit = corpus.join(bkeyed, "image_id", "inner")
     miss = keyed.join(
-        F.broadcast(hit.select("image_id")), "image_id", "left_anti"
+        wave_side(hit.select("image_id"), cfg), "image_id", "left_anti"
     ).select(
         "image_id",
         F.lit(None).cast("binary").alias("bytes"),

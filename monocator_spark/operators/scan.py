@@ -118,21 +118,31 @@ def tls_scan_ips(ips: DataFrame) -> DataFrame:
 
 
 def scan_wave(
-    wave_hosts: DataFrame, cache: DataFrame | None, epoch: int
+    wave_hosts: DataFrame, cache: DataFrame | None, epoch: int,
+    cfg: spec.CrawlConfig | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """O13: (wave_hosts(host, ip), cache) → (tls_rows, new_cache_rows).
 
     ``cache_hit`` is defined as "IP was in the cache before this epoch" —
     order-free, so two co-hosted hosts discovered in the same wave both
     count as misses but still share the single fresh scan.
+
+    The wave-IP probe side broadcasts only below cfg.wave_broadcast_max
+    (operators/hints.wave_side): a full-scale wave's distinct-IP set can be
+    10^7–10^8 rows, which must take the shuffle join against the cache.
     """
+    from monocator_spark.operators.hints import wave_side
+
+    def _ws(df: DataFrame) -> DataFrame:
+        return wave_side(df, cfg) if cfg is not None else F.broadcast(df)
+
     wave_ips = wave_hosts.select("ip").distinct()
     if cache is None:
         new_ips = wave_ips
         cached_part = None
     else:
         new_ips = wave_ips.join(cache.select("ip"), "ip", "left_anti")
-        cached_part = cache.join(F.broadcast(wave_ips), "ip", "inner").select(
+        cached_part = cache.join(_ws(wave_ips), "ip", "inner").select(
             "ip", "scan", "connect_ok", F.lit(True).alias("cache_hit")
         )
     fresh = tls_scan_ips(new_ips)

@@ -298,7 +298,9 @@ class CrawlEngine:
             ).cache()
             persisted.append(wave_hosts)
             scan_cache = self.store.preview(self.spark, "scan_cache")
-            tls_rows, new_scan_rows = scanop.scan_wave(wave_hosts, scan_cache, epoch)
+            tls_rows, new_scan_rows = scanop.scan_wave(
+                wave_hosts, scan_cache, epoch, cfg
+            )
             # fresh scans feed BOTH the cache append and the tls rows —
             # cache so the fan-out computes once
             new_scan_rows = new_scan_rows.cache()
@@ -339,7 +341,7 @@ class CrawlEngine:
             else None
         )
         ok = change.with_screenshot(
-            fetched.where(F.col("status") == OK), hist, epoch
+            fetched.where(F.col("status") == OK), hist, epoch, cfg
         )
         retry = (
             fetched.where(
@@ -397,9 +399,14 @@ class CrawlEngine:
                 .withColumn("epoch", F.lit(epoch))
             )
 
-        # next frontier: pending minus this wave, plus retries, plus admitted
+        # next frontier: pending minus this wave, plus retries, plus admitted.
+        # The wave-key side broadcasts only below cfg.wave_broadcast_max —
+        # a 10^8-row wave at full scale takes the shuffle anti-join instead
+        # (operators/hints.wave_side, same switch as the fetch/change joins).
+        from monocator_spark.operators.hints import wave_side
+
         remaining = pending.select(*FRONTIER_COLS_Q).join(
-            F.broadcast(wave.select("url_hash")), "url_hash", "left_anti"
+            wave_side(wave.select("url_hash"), cfg), "url_hash", "left_anti"
         )
         # frontier host cardinality (O17 metric) rides the same count
         # action as another Observation — approx_count_distinct, no job
@@ -474,6 +481,25 @@ class CrawlEngine:
         if cfg.time_politeness and ctx["host_next"] is not None:
             # host_next is STATE: next epoch's range gate reads it
             st.stage_overwrite("host_next", ctx["host_next"], epoch + 1)
+
+        def flush_fetched() -> None:
+            st.stage_append(
+                "fetched",
+                ok.select(
+                    "url_hash", "image_id", "bytes", "w", "h", "fmt", "caption",
+                    "phash", F.lit(epoch).alias("fetch_epoch"), "wave_pos", "status",
+                    "prior_phash", "policy", "screenshot",
+                ),
+                epoch + 1,
+            )
+
+        if cfg.change_detection:
+            # under change detection, `fetched` is consumed as STATE: epoch
+            # k+1's _phase1 previews it for the lag-based prior_phash, so it
+            # must be staged BEFORE state_ready fires — exactly like
+            # scan_cache/host_next — or a pipelined epoch could miss the
+            # immediately-previous epoch's fetches nondeterministically.
+            flush_fetched()
         if state_ready is not None:
             state_ready.set()  # next epoch may now preview the staged state
         if ctx["debug"]:
@@ -487,17 +513,10 @@ class CrawlEngine:
                 ),
                 epoch + 1,
             ),
-            lambda: st.stage_append(
-                "fetched",
-                ok.select(
-                    "url_hash", "image_id", "bytes", "w", "h", "fmt", "caption",
-                    "phash", F.lit(epoch).alias("fetch_epoch"), "wave_pos", "status",
-                    "prior_phash", "policy", "screenshot",
-                ),
-                epoch + 1,
-            ),
             lambda: st.stage_append("failed", perm_failed, epoch + 1),
         ]
+        if not cfg.change_detection:
+            flushes.append(flush_fetched)
         if cfg.tls_scan:
             flushes.append(
                 lambda: st.stage_append("tls", ctx["tls_rows"], epoch + 1)

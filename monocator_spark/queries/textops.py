@@ -94,20 +94,28 @@ def q_tfidf_topk(spark, sf_dir, k: int = 5, min_len: int = 3):
     shuffle on term; N is one broadcast scalar. The tf ⋈ df join keys on
     term, which is Zipf-skewed — at scale broadcast the df side (it is
     O(vocabulary), tiny next to tf) so no skewed shuffle exists.
+
+    N (the corpus size) is folded in as a broadcast 1-row aggregate
+    cross-joined onto the scored plan — NOT a separate ``d.count()`` driver
+    action, which at 100 TB would re-scan the whole documents table once
+    per invocation just to fetch one scalar (the same pattern
+    ``sample_stratified`` uses for its rate table).
     """
     from pyspark.sql import Window
 
     d = T(spark, sf_dir, "documents")
-    n_docs = d.count()  # one scalar; the broadcast N of the formula
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))  # 1-row plan, broadcast
     terms = d.select(
         "doc_id",
         F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term"),
     ).where(F.length("term") >= min_len)
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+    scored = tf.join(F.broadcast(dfreq), "term").crossJoin(
+        F.broadcast(n_docs)
+    ).withColumn(
         "score",
-        F.round((F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df"), 6),
+        F.round((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df"), 6),
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
     return (
@@ -403,6 +411,22 @@ FROM documents
 
 
 # -- n-gram Jaccard near-dup pairs ---------------------------------------------------
+# One-slot cache registry: q_shingle_jaccard_pairs returns a LAZY plan over a
+# persisted doc×shingle table, so the cache can't be released inside the call
+# (the caller hasn't consumed the plan yet). Each new invocation unpersists
+# the previous call's table instead — a session holds at most ONE cached
+# shingle DataFrame, never one per call.
+_SHINGLE_PERSISTED: list = []
+
+
+def _persist_one_slot(df):
+    while _SHINGLE_PERSISTED:
+        _SHINGLE_PERSISTED.pop().unpersist()
+    df = df.persist()
+    _SHINGLE_PERSISTED.append(df)
+    return df
+
+
 def q_shingle_jaccard_pairs(spark, sf_dir, threshold: float = 0.8):
     """Exact Jaccard-≥t pairs via *prefix filtering* (PPJoin-style).
 
@@ -422,7 +446,7 @@ def q_shingle_jaccard_pairs(spark, sf_dir, threshold: float = 0.8):
 
     d = T(spark, sf_dir, "documents")
     sh = d.select("doc_id", "source", F.expr(_SHINGLE_SPARK).alias("sh")).distinct()
-    sh = sh.persist()
+    sh = _persist_one_slot(sh)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     freq = sh.groupBy("source", "sh").agg(F.count(F.lit(1)).alias("gf"))
     w = Window.partitionBy("doc_id").orderBy(F.asc("gf"), F.asc("sh"))

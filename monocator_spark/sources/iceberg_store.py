@@ -79,6 +79,20 @@ class IcebergStore:
         return f"{self.ns}.{table}"
 
     def _last_snapshot_id(self, table: str) -> int:
+        """The table's CURRENT snapshot — read from the main branch ref, not
+        by sorting the snapshots view: snapshot ids are random longs and
+        ``committed_at`` has millisecond granularity, so two quick writes in
+        the same millisecond would make an ORDER BY pick nondeterministically.
+        The ``refs`` metadata table's ``main`` row is the authoritative
+        current pointer."""
+        row = self.spark.sql(
+            f"SELECT snapshot_id FROM {self._tbl(table)}.refs "
+            "WHERE name = 'main' AND type = 'BRANCH'"
+        ).collect()
+        if row:
+            return int(row[0]["snapshot_id"])
+        # branch ref missing (shouldn't happen after a write) — fall back to
+        # the snapshots view, newest committed_at then highest sequence
         row = self.spark.sql(
             f"SELECT snapshot_id FROM {self._tbl(table)}.snapshots "
             "ORDER BY committed_at DESC, snapshot_id DESC LIMIT 1"
@@ -109,11 +123,15 @@ class IcebergStore:
     # to the table property `write.parquet.compression-codec=uncompressed`,
     # set once at CREATE TABLE for fetched/bloom tables.
     def stage_append(self, table: str, df: DataFrame, epoch: int) -> None:
-        w = df.writeTo(self._tbl(table))
-        try:
-            w.append()
-        except Exception:  # first write: table doesn't exist yet
-            w.create()
+        # existence is checked explicitly (not try-append-except-create):
+        # a genuine append failure on an existing table — schema drift, FS
+        # error — must propagate as itself, not resurface as a confusing
+        # "table already exists" from the create() fallback.
+        tbl = self._tbl(table)
+        if self.spark.catalog.tableExists(tbl):
+            df.writeTo(tbl).append()
+        else:
+            df.writeTo(tbl).create()
         self._record(table, "append")
 
     def stage_overwrite(self, table: str, df: DataFrame, epoch: int) -> None:
@@ -130,9 +148,24 @@ class IcebergStore:
         """The atomic commit point: one append of this epoch's pin rows.
 
         Tables untouched this epoch inherit the previous epoch's pins, so
-        every committed epoch row-set is a complete snapshot tuple."""
+        every committed epoch row-set is a complete snapshot tuple.
+
+        Idempotent per epoch: committing the same epoch again (e.g.
+        ``reenqueue`` pins epoch N+1, then the resumed run's first flush
+        commits N+1 too — SnapshotStore's manifest rename REPLACES, so the
+        Iceberg twin must replace as well) first deletes that epoch's
+        existing pin rows. The delete and the append are two snapshots, not
+        one transaction — a kill in the gap leaves the epoch absent, so
+        resume falls back to the previous complete epoch: the same
+        invisibility guarantee, never a mixed row-set."""
         with self._lock:
             prev = self.last_epoch()
+            if prev is not None and prev >= epoch:
+                # re-commit of an existing epoch: replace its pin rows
+                self.spark.sql(
+                    f"DELETE FROM {self.ns}.__epochs WHERE epoch = {int(epoch)}"
+                )
+                prev = self.last_epoch()
             pins: dict[str, tuple[int, str]] = {}
             if prev is not None:
                 for t, s in self._committed()[prev].items():
@@ -188,7 +221,12 @@ class IcebergStore:
         ep = self.last_epoch() if epoch is None else epoch
         if ep is None:
             return None
+        # ORDER BY tbl: deterministic row choice. All of an epoch's rows
+        # carry the same meta json (commit() writes them together and is
+        # idempotent per epoch), but a bare LIMIT 1 would still be an
+        # unordered pick — make the contract visible in the query.
         row = self.spark.sql(
-            f"SELECT meta FROM {self.ns}.__epochs WHERE epoch = {int(ep)} LIMIT 1"
+            f"SELECT meta FROM {self.ns}.__epochs WHERE epoch = {int(ep)} "
+            "ORDER BY tbl LIMIT 1"
         ).collect()
         return json.loads(row[0]["meta"]) if row else None

@@ -123,12 +123,23 @@ class SnapshotStore:
         one snapshot under the same lock) can never observe the gap between
         "new manifest visible" and "staged set cleared" — a pipelined
         epoch k+1 previewing during epoch k's commit sees either (old
-        manifest + staged) or (new manifest + empty), both equivalent."""
+        manifest + staged) or (new manifest + empty), both equivalent.
+
+        The staged set is snapshotted under ``_lock`` up front: the class
+        contract allows concurrent ``stage_*`` calls, so iterating the live
+        dict here could race a staging thread (today the engine serializes
+        commit and staging on one flusher thread, but the contract must not
+        depend on that)."""
+        with self._lock:
+            staged = {
+                t: {"mode": st["mode"], "dirs": list(st["dirs"])}
+                for t, st in self._staged.items()
+            }
         prev = self.last_epoch()
         tables: dict[str, list[str]] = {}
         if prev is not None:
             tables = dict(self._read_manifest(prev)["tables"])
-        for table, st in self._staged.items():
+        for table, st in staged.items():
             if st["mode"] == "overwrite":
                 tables[table] = list(st["dirs"])
             else:

@@ -104,6 +104,68 @@ def test_recrawl_order_matches(recrawl_runs):
     assert got == exp
 
 
+def test_same_epoch_duplicate_image(spark, tmp_root):
+    """Two URLs fetching the SAME image in ONE wave (different hosts, same
+    path leaf): the lag window must order by (fetch_epoch, wave_pos) — the
+    simulator's sequential last_phash semantics — and the prior join must
+    key on the unique per-row url_hash, producing exactly one output row
+    per fetch (no image_id cross-product): the first fetch gets a null
+    prior, the second gets the first's phash."""
+    n_images, n_hosts = 40, 6
+    cfg = spec.CrawlConfig(
+        n_images=n_images, n_hosts=n_hosts, wave_size=50,
+        follow_outlinks=False, change_detection=True,
+    )
+    d = f"{tmp_root}/world-dupimg"
+    dg.write_world(spark, d, n_images=n_images, n_hosts=n_hosts, n_seeds=6)
+    base = dg.build_seeds(6, n_images, n_hosts)["url"].tolist()
+    # two extra URLs on distinct hosts pointing at one existing image; pick
+    # an image whose path no fixture robots rule denies on either host
+    corpus = dg.build_corpus(n_images).to_dict("records")
+    hs = dg.build_host_state(n_hosts, n_images).to_dict("records")
+    dup = None
+    for i in range(n_images):
+        iid = dg.image_id_of(i)
+        urls = [f"http://h3.example/{iid}", f"http://h4.example/{iid}"]
+        if all(
+            dg.robots_allowed("/" + iid, h["robots_rules"]) and not h["blacklisted"]
+            for h in hs if h["host"] in ("h3.example", "h4.example")
+        ):
+            dup = (iid, urls)
+            break
+    assert dup is not None
+    iid, urls = dup
+    seeds = base + urls
+    spark.createDataFrame([(u,) for u in seeds], "url string").write.mode(
+        "overwrite"
+    ).parquet(f"{d}/seeds")
+
+    sres = ReferenceSimulator(corpus, hs, cfg).run(seeds)
+    sim_rows = [f for f in sres.fetched if f["image_id"] == iid]
+    assert len(sim_rows) >= 2  # both duplicate URLs fetched
+    epochs = {f["fetch_epoch"] for f in sim_rows}
+    assert len(epochs) == 1  # ... in the SAME wave (fixture precondition)
+    priors = sorted(
+        (f["wave_pos"], f["prior_phash"]) for f in sim_rows
+    )
+    assert priors[0][1] is None and priors[1][1] == sim_rows[0]["phash"]
+
+    eng = CrawlEngine(spark, SnapshotStore(f"{tmp_root}/state-dupimg"), d, cfg)
+    eng.run()
+    got = {
+        (r.url_hash, r.fetch_epoch, r.wave_pos, r.prior_phash, r.screenshot)
+        for r in eng.fetched_df().collect()
+    }
+    exp = {
+        (f["url_hash"], f["fetch_epoch"], f["wave_pos"], f["prior_phash"],
+         f["screenshot"])
+        for f in sres.fetched
+    }
+    assert got == exp
+    # no duplicated output rows from the prior join
+    assert eng.fetched_df().count() == len(sres.fetched)
+
+
 def test_change_detection_really_fired(recrawl_runs):
     """Refetched rows must carry a non-null prior_phash (the lag found the
     earlier fetch), and an unchanged if_html_changed refetch must NOT
