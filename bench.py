@@ -6,6 +6,12 @@ local[$SPARK_GRAFT_CPUS] and print ONE JSON line.
 Every query is forced end-to-end with a noop sink (full materialization,
 no driver collect). The reported value is total seconds across headline
 queries; per-query seconds are in "queries".
+
+Protocol: $SPARK_GRAFT_REPS full passes over the list (default 2),
+per-query best-of — single-run numbers on this host drift ±15-20%
+between sessions (documented in BENCH/BASELINE.md), which round 2's
+single-pass bench misread as a ~25% phantom regression. Raw per-pass
+numbers are kept in "queries_all_reps" so drift stays visible.
 """
 
 from __future__ import annotations
@@ -42,6 +48,9 @@ HEADLINE = [
     "ann_ivf_bucketed",
     "bloom_build_stats",
     "tls_fanout_map",
+    "cert_chain_arrays",
+    "dns_fanout_records",
+    "smtp_probe",
     "change_detect_lag",
     "approx_distinct",
     "semantic_dedup_twostage",
@@ -65,15 +74,17 @@ def main() -> None:
     # warm the JVM/Arrow path once so q1 doesn't pay session startup
     REGISTRY["topk_global"][0](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    per_query: dict[str, float] = {}
-    total = 0.0
-    for name in HEADLINE:
-        fn, _ = REGISTRY[name]
-        t0 = time.monotonic()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        dt = round(time.monotonic() - t0, 3)
-        per_query[name] = dt
-        total += dt
+    reps = int(os.environ.get("SPARK_GRAFT_REPS", "2"))
+    all_reps: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(reps):
+        for name in HEADLINE:
+            fn, _ = REGISTRY[name]
+            t0 = time.monotonic()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            all_reps[name].append(round(time.monotonic() - t0, 3))
+
+    per_query = {name: min(ts) for name, ts in all_reps.items()}
+    total = sum(per_query.values())
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -83,6 +94,9 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": per_query,
+                "queries_all_reps": all_reps,
+                "reps": reps,
+                "protocol": "per-query best-of-%d" % reps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cpus": cpus,
             }

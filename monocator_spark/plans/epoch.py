@@ -288,15 +288,20 @@ class CrawlEngine:
                 else newn
             )
 
-        # scan module (O8 DNS resolve → O13 IP-cache split → O12 TLS fan-out)
+        # scan modules (O8 DNS resolve/fan-out → O13 IP-cache split → O12
+        # TLS fan-out → SMTP banner grab) — each behind its VisitRequest
+        # flag; all share one resolved wave-host set per epoch
         tls_rows = new_scan_rows = None
-        if cfg.tls_scan:
+        dns_rows = new_dns_rows = None
+        smtp_rows = new_smtp_rows = None
+        if cfg.tls_scan or cfg.dns_scan or cfg.smtp_scan:
             from monocator_spark.operators import scan as scanop
 
             wave_hosts = scanop.resolve_hosts(
                 wave.select("host").distinct(), cfg.n_hosts
             ).cache()
             persisted.append(wave_hosts)
+        if cfg.tls_scan:
             scan_cache = self.store.preview(self.spark, "scan_cache")
             tls_rows, new_scan_rows = scanop.scan_wave(
                 wave_hosts, scan_cache, epoch, cfg
@@ -305,6 +310,20 @@ class CrawlEngine:
             # cache so the fan-out computes once
             new_scan_rows = new_scan_rows.cache()
             persisted.append(new_scan_rows)
+        if cfg.dns_scan:
+            dns_cache = self.store.preview(self.spark, "dns_cache")
+            dns_rows, new_dns_rows = scanop.dns_wave(
+                wave_hosts, dns_cache, epoch, cfg
+            )
+            new_dns_rows = new_dns_rows.cache()
+            persisted.append(new_dns_rows)
+        if cfg.smtp_scan:
+            smtp_cache = self.store.preview(self.spark, "smtp_cache")
+            smtp_rows, new_smtp_rows = scanop.smtp_wave(
+                wave_hosts, smtp_cache, epoch, cfg
+            )
+            new_smtp_rows = new_smtp_rows.cache()
+            persisted.append(new_smtp_rows)
 
         t0 = time.monotonic()
         wave_cols = wave.select(*FRONTIER_COLS_Q, "wave_pos")
@@ -448,6 +467,8 @@ class CrawlEngine:
             "denied_new": denied_new, "lineage": lineage,
             "next_frontier": next_frontier, "bloom_next": bloom_next,
             "tls_rows": tls_rows, "new_scan_rows": new_scan_rows,
+            "dns_rows": dns_rows, "new_dns_rows": new_dns_rows,
+            "smtp_rows": smtp_rows, "new_smtp_rows": new_smtp_rows,
             "host_next": host_next_new,
             "status_obs": status_obs, "frontier_obs": frontier_obs,
             "persisted": persisted, "debug": _debug,
@@ -478,6 +499,10 @@ class CrawlEngine:
         if cfg.tls_scan:
             # scan_cache is STATE: next epoch's anti-join must see it
             st.stage_append("scan_cache", ctx["new_scan_rows"], epoch + 1)
+        if cfg.dns_scan:
+            st.stage_append("dns_cache", ctx["new_dns_rows"], epoch + 1)
+        if cfg.smtp_scan:
+            st.stage_append("smtp_cache", ctx["new_smtp_rows"], epoch + 1)
         if cfg.time_politeness and ctx["host_next"] is not None:
             # host_next is STATE: next epoch's range gate reads it
             st.stage_overwrite("host_next", ctx["host_next"], epoch + 1)
@@ -520,6 +545,14 @@ class CrawlEngine:
         if cfg.tls_scan:
             flushes.append(
                 lambda: st.stage_append("tls", ctx["tls_rows"], epoch + 1)
+            )
+        if cfg.dns_scan:
+            flushes.append(
+                lambda: st.stage_append("dns", ctx["dns_rows"], epoch + 1)
+            )
+        if cfg.smtp_scan:
+            flushes.append(
+                lambda: st.stage_append("smtp", ctx["smtp_rows"], epoch + 1)
             )
         if cfg.follow_outlinks:
             flushes.append(
@@ -721,3 +754,9 @@ class CrawlEngine:
 
     def scan_cache_df(self) -> DataFrame:
         return self.store.load(self.spark, "scan_cache")
+
+    def dns_df(self) -> DataFrame:
+        return self.store.load(self.spark, "dns")
+
+    def smtp_df(self) -> DataFrame:
+        return self.store.load(self.spark, "smtp")

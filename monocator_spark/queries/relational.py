@@ -438,6 +438,200 @@ FROM events GROUP BY event_type
 """
 
 
+# -- O15 fringe: certificate chain — array-of-struct built by transform over
+# sequence, present iff the scan connected (the Optional<List<Certificate>>
+# persistence, /root/reference/src/TODO.MD:15-17,50). Rendered as a
+# sorted-concatenated string so DuckDB can hash-compare the nested array.
+def q_cert_chain_arrays(spark, sf_dir):
+    s = T(spark, sf_dir, "supplier").select("s_suppkey")
+    hv = (
+        "cast(conv(substr(md5(concat('certn|', cast(s_suppkey as string)))"
+        ",1,4),16,10) as bigint)"
+    )
+    x = (
+        s.withColumn("hv", F.expr(hv))
+        .withColumn("connect_ok", F.expr("hv % 5 <> 0"))
+        .withColumn("n", F.expr("cast(1 + hv % 3 as int)"))
+    )
+    chain = F.expr(
+        """
+        CASE WHEN connect_ok THEN
+          transform(sequence(0, n - 1), k -> struct(
+            concat('CN=s-', cast(s_suppkey as string), '-l',
+                   cast(k as string)) AS subject,
+            CASE WHEN k + 1 < n
+                 THEN concat('CN=s-', cast(s_suppkey as string), '-l',
+                             cast(k + 1 as string))
+                 ELSE concat('CN=root-', cast(
+                        cast(conv(substr(md5(concat('cert|',
+                          cast(s_suppkey as string), '|',
+                          cast(k as string))),1,4),16,10) as bigint) % 16
+                      as string)) END AS issuer,
+            1700000000 + (cast(conv(substr(md5(concat('cert|',
+              cast(s_suppkey as string), '|', cast(k as string))),1,4),16,10)
+              as bigint) % 100000) * 86400 AS not_after))
+        END
+        """
+    )
+    return x.withColumn("certificates", chain).select(
+        "s_suppkey",
+        "connect_ok",
+        # concat_ws over a NULL array yields '' — keep NULL for the
+        # disconnected branch so the DuckDB left-join NULL matches
+        F.when(
+            F.col("certificates").isNotNull(),
+            F.expr(
+                "concat_ws(';', transform(certificates, c -> concat("
+                "c.subject, ',', c.issuer, ',', cast(c.not_after as string))))"
+            ),
+        ).alias("chain_str"),
+        F.coalesce(F.expr("size(certificates)"), F.lit(0))
+        .cast("long")
+        .alias("n_certs"),
+    )
+
+
+SQL_CERT = """
+WITH y AS (
+  SELECT s_suppkey,
+         CAST(('0x'||substr(md5('certn|'||s_suppkey),1,4)) AS BIGINT) AS hv
+  FROM supplier),
+g AS (SELECT s_suppkey, hv % 5 <> 0 AS connect_ok, 1 + hv % 3 AS n FROM y),
+elems AS (
+  SELECT g.s_suppkey, g.n, t.k,
+         CAST(('0x'||substr(md5('cert|'||g.s_suppkey||'|'||t.k),1,4)) AS BIGINT) AS hk
+  FROM g CROSS JOIN range(3) AS t(k)
+  WHERE g.connect_ok AND t.k < g.n),
+chains AS (
+  SELECT s_suppkey,
+         string_agg('CN=s-'||s_suppkey||'-l'||k||','||
+           CASE WHEN k + 1 < n THEN 'CN=s-'||s_suppkey||'-l'||(k+1)
+                ELSE 'CN=root-'||CAST(hk % 16 AS VARCHAR) END||','||
+           CAST(1700000000 + (hk % 100000) * 86400 AS VARCHAR),
+           ';' ORDER BY k) AS chain_str,
+         COUNT(*) AS n_certs
+  FROM elems GROUP BY s_suppkey)
+SELECT g.s_suppkey, g.connect_ok, c.chain_str,
+       COALESCE(c.n_certs, 0) AS n_certs
+FROM g LEFT JOIN chains c USING (s_suppkey)
+"""
+
+
+# -- O8 completion: DNS prefixes/rrtypes fan-out — explode the
+# (prefix × rrtype) grid, drop NXDOMAIN pairs, re-assemble the per-entity
+# record set ordered by (prefix, rrtype) (/root/reference/src/TODO.MD:58-59).
+_DNS_PREFIXES = ["", "www"]
+_DNS_RRTYPES = ["A", "AAAA", "MX"]
+
+
+def q_dns_fanout_records(spark, sf_dir):
+    s = T(spark, sf_dir, "supplier").select("s_suppkey")
+    pair = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(p).alias("prefix"), F.lit(r).alias("rrtype"))
+                for p in _DNS_PREFIXES
+                for r in _DNS_RRTYPES
+            ]
+        )
+    ).alias("pair")
+    fanned = s.select("s_suppkey", pair).select(
+        "s_suppkey", F.col("pair.prefix").alias("prefix"),
+        F.col("pair.rrtype").alias("rrtype"),
+    )
+    x = fanned.withColumn(
+        "hv",
+        F.expr(
+            "cast(conv(substr(md5(concat('dns|', prefix, '|', rrtype, '|',"
+            " cast(s_suppkey as string))),1,4),16,10) as bigint)"
+        ),
+    )
+    recs = (
+        x.where(F.expr("hv % 4 <> 0"))
+        .withColumn(
+            "rec",
+            F.expr(
+                "concat(prefix, ':', rrtype, '=', lower(rrtype), '-',"
+                " cast(hv % 4096 as string), '@',"
+                " cast(60 + (hv % 4) * 300 as string))"
+            ),
+        )
+        .groupBy("s_suppkey")
+        .agg(
+            F.concat_ws(";", F.sort_array(F.collect_list("rec"))).alias(
+                "record_set"
+            ),
+            F.count(F.lit(1)).alias("n_records"),
+        )
+    )
+    return (
+        s.join(recs, "s_suppkey", "left")
+        .withColumn("record_set", F.coalesce("record_set", F.lit("")))
+        .withColumn("n_records", F.coalesce("n_records", F.lit(0)))
+        .select("s_suppkey", "record_set", "n_records")
+    )
+
+
+SQL_DNS = """
+WITH grid AS (
+  SELECT p.prefix, r.rrtype
+  FROM (SELECT unnest(['', 'www']) AS prefix) p
+  CROSS JOIN (SELECT unnest(['A', 'AAAA', 'MX']) AS rrtype) r),
+x AS (
+  SELECT s_suppkey, prefix, rrtype,
+         CAST(('0x'||substr(md5('dns|'||prefix||'|'||rrtype||'|'||s_suppkey),1,4)) AS BIGINT) AS hv
+  FROM supplier CROSS JOIN grid),
+recs AS (
+  SELECT s_suppkey,
+         string_agg(prefix||':'||rrtype||'='||lower(rrtype)||'-'||
+                    CAST(hv % 4096 AS VARCHAR)||'@'||
+                    CAST(60 + (hv % 4) * 300 AS VARCHAR),
+                    ';' ORDER BY prefix||':'||rrtype||'='||lower(rrtype)||'-'||
+                    CAST(hv % 4096 AS VARCHAR)||'@'||
+                    CAST(60 + (hv % 4) * 300 AS VARCHAR)) AS record_set,
+         COUNT(*) AS n_records
+  FROM x WHERE hv % 4 <> 0 GROUP BY s_suppkey)
+SELECT s.s_suppkey, COALESCE(r.record_set, '') AS record_set,
+       COALESCE(r.n_records, 0) AS n_records
+FROM supplier s LEFT JOIN recs r USING (s_suppkey)
+"""
+
+
+# -- SMTP module: deterministic per-entity banner grab (the last
+# VisitRequest module, /root/reference/src/TODO.MD:76).
+def q_smtp_probe(spark, sf_dir):
+    s = T(spark, sf_dir, "supplier").select("s_suppkey")
+    return (
+        s.withColumn(
+            "hv",
+            F.expr(
+                "cast(conv(substr(md5(concat('smtp|',"
+                " cast(s_suppkey as string))),1,4),16,10) as bigint)"
+            ),
+        )
+        .select(
+            "s_suppkey",
+            F.lit(25).alias("port"),
+            F.expr("hv % 5 <> 0").alias("connect_ok"),
+            F.expr(
+                "CASE WHEN hv % 5 <> 0 THEN concat('220 mx-',"
+                " cast(hv % 1024 as string), '.example ESMTP') END"
+            ).alias("banner"),
+        )
+    )
+
+
+SQL_SMTP = """
+SELECT s_suppkey, 25 AS port, hv % 5 <> 0 AS connect_ok,
+       CASE WHEN hv % 5 <> 0
+            THEN '220 mx-'||CAST(hv % 1024 AS VARCHAR)||'.example ESMTP' END AS banner
+FROM (
+  SELECT s_suppkey,
+         CAST(('0x'||substr(md5('smtp|'||s_suppkey),1,4)) AS BIGINT) AS hv
+  FROM supplier)
+"""
+
+
 RELATIONAL = {
     "wave_select_rank": (q_wave_select_rank, SQL_WAVE),
     "politeness_quota": (q_politeness_quota, SQL_QUOTA),
@@ -456,4 +650,7 @@ RELATIONAL = {
     "tls_fanout_map": (q_tls_fanout_map, SQL_TLS),
     "change_detect_lag": (q_change_detect_lag, SQL_CHANGE),
     "approx_distinct": (q_approx_distinct, SQL_APPROX),
+    "cert_chain_arrays": (q_cert_chain_arrays, SQL_CERT),
+    "dns_fanout_records": (q_dns_fanout_records, SQL_DNS),
+    "smtp_probe": (q_smtp_probe, SQL_SMTP),
 }

@@ -51,6 +51,10 @@ class SimResult:
     metrics: list[dict] = field(default_factory=list)
     tls: list[dict] = field(default_factory=list)       # O12 per-visit scans
     scan_cache: dict[int, dict] = field(default_factory=dict)  # O13 ip -> scan
+    dns: list[dict] = field(default_factory=list)        # O8 per-visit record sets
+    dns_cache: dict[str, list] = field(default_factory=dict)   # host -> records
+    smtp: list[dict] = field(default_factory=list)       # SMTP per-visit probes
+    smtp_cache: dict[int, dict] = field(default_factory=dict)  # ip -> probe
 
 
 class ReferenceSimulator:
@@ -216,6 +220,8 @@ class ReferenceSimulator:
                     res.scan_cache[ip] = {
                         "scan": scan,
                         "connect_ok": any(ok for ok, _ in scan.values()),
+                        # O15 fringe: chain saved with the scan (TODO.MD:50)
+                        "certificates": spec.cert_chain_of(ip),
                     }
                 for host in sorted(wave_ip):
                     ip = wave_ip[host]
@@ -223,7 +229,38 @@ class ReferenceSimulator:
                         "host": host, "ip": ip,
                         "scan": res.scan_cache[ip]["scan"],
                         "connect_ok": res.scan_cache[ip]["connect_ok"],
+                        "certificates": res.scan_cache[ip]["certificates"],
                         "cache_hit": ip in hits, "epoch": epoch,
+                    })
+
+            # O8 completion: per-host DNS record sets, host-keyed cache
+            if self.cfg.dns_scan:
+                wave_hosts = sorted({e.host for e in wave})
+                dns_hits = {h for h in wave_hosts if h in res.dns_cache}
+                for h in wave_hosts:
+                    if h not in res.dns_cache:
+                        res.dns_cache[h] = spec.dns_records_of(h)
+                for h in wave_hosts:
+                    res.dns.append({
+                        "host": h, "records": res.dns_cache[h],
+                        "n_records": len(res.dns_cache[h]),
+                        "cache_hit": h in dns_hits, "epoch": epoch,
+                    })
+
+            # SMTP module: per-IP banner grab, IP-keyed cache (O13 pattern)
+            if self.cfg.smtp_scan:
+                wave_ip_s = {
+                    e.host: spec.ip_of_host(e.host, self.cfg.n_hosts) for e in wave
+                }
+                epoch_ips_s = set(wave_ip_s.values())
+                smtp_hits = {ip for ip in epoch_ips_s if ip in res.smtp_cache}
+                for ip in epoch_ips_s - smtp_hits:
+                    res.smtp_cache[ip] = spec.smtp_probe_of(ip)
+                for host in sorted(wave_ip_s):
+                    ip = wave_ip_s[host]
+                    res.smtp.append({
+                        "host": host, "ip": ip, **res.smtp_cache[ip],
+                        "cache_hit": ip in smtp_hits, "epoch": epoch,
                     })
 
             n_fetched = n_failed = 0

@@ -125,6 +125,99 @@ def screenshot_decision(
     return phash % 16 == 0  # if_suspicious (Python % = pmod on signed phash)
 
 
+# ---- certificate chain (O15 fringe) -----------------------------------------
+# Reference: saveCertificates(Optional<List<Certificate>> chain)
+# (/root/reference/src/TODO.MD:15-17,50) — the array-of-struct persistence.
+# The chain belongs to the FullScan (per IP, cached with it); it is PRESENT
+# iff any enabled version connected (the Optional<> analogue) and its values
+# are deterministic hash derivations [canon].
+CERT_PREFIX = "cert|"
+CERT_MAX_DEPTH = 3          # leaf + up to 1 intermediate + root
+CERT_NOT_AFTER_BASE = 1700000000  # deterministic epoch-seconds base
+
+
+def cert_chain_of(ip: int) -> list[dict] | None:
+    """Certificate chain of an IP's scan, or None when nothing connected
+    (Optional<List<Certificate>>, TODO.MD:50). Element k links to k+1 as
+    its issuer; the last element is a root CA."""
+    from monocator_spark.functions.hashing import xxh64_str
+
+    if not any(tls_scan_of(ip, v)[0] for v in tls_versions_of_ip(ip)):
+        return None
+    n = 1 + xxh64_str(f"{CERT_PREFIX}n|{ip}") % CERT_MAX_DEPTH
+    chain = []
+    for k in range(n):
+        h = xxh64_str(f"{CERT_PREFIX}{ip}|{k}")
+        issuer = (
+            f"CN=ip-{ip}-l{k + 1}" if k + 1 < n else f"CN=root-{h % 16}"
+        )
+        chain.append(
+            {
+                "subject": f"CN=ip-{ip}-l{k}",
+                "issuer": issuer,
+                "not_after": CERT_NOT_AFTER_BASE + (h % 100000) * 86400,
+            }
+        )
+    return chain
+
+
+# ---- DNS prefixes / rrtypes fan-out (O8 completion) --------------------------
+# Reference: dns.prefixes / dns.rrtypes (/root/reference/src/TODO.MD:58-59):
+# a visit resolves each configured (prefix, rrtype) pair and persists the
+# record set. Record values are deterministic hash derivations [canon]; a
+# (prefix, rrtype) pair can yield 0 records (NXDOMAIN analogue), so record
+# sets genuinely vary per host.
+DNS_PREFIXES = ("", "www")
+DNS_RRTYPES = ("A", "AAAA", "MX")
+DNS_PREFIX = "dns|"
+
+
+def dns_records_of(host: str) -> list[dict]:
+    """Full record set of one host visit: one entry per (prefix, rrtype)
+    pair that resolves, sorted by (prefix, rrtype) — the collect_list
+    re-assembly order the engine uses."""
+    from monocator_spark.functions.hashing import xxh64_str
+
+    out = []
+    for prefix in DNS_PREFIXES:
+        for rrtype in DNS_RRTYPES:
+            h = xxh64_str(f"{DNS_PREFIX}{prefix}|{rrtype}|{host}")
+            if h % 4 == 0:  # NXDOMAIN for this pair
+                continue
+            out.append(
+                {
+                    "prefix": prefix,
+                    "rrtype": rrtype,
+                    "value": f"{rrtype.lower()}-{h % 65536}",
+                    "ttl": 60 + (h % 4) * 300,
+                }
+            )
+    return sorted(out, key=lambda r: (r["prefix"], r["rrtype"]))
+
+
+# ---- SMTP module (the last VisitRequest module) ------------------------------
+# Reference: smtp.enabled (/root/reference/src/TODO.MD:76). The stripped
+# docs carry no further SMTP semantics, so the shape is the canonical
+# banner-grab [canon]: per-IP (reusing the O13 cache pattern — co-hosted
+# hosts share one SMTP probe), port 25, deterministic connect outcome +
+# banner string.
+SMTP_PREFIX = "smtp|"
+SMTP_PORT = 25
+
+
+def smtp_probe_of(ip: int) -> dict:
+    """Deterministic per-IP SMTP banner grab: (connect_ok, banner, port)."""
+    from monocator_spark.functions.hashing import xxh64_str
+
+    h = xxh64_str(f"{SMTP_PREFIX}{ip}")
+    ok = h % 5 != 0  # 20% of IPs refuse port 25
+    return {
+        "port": SMTP_PORT,
+        "connect_ok": ok,
+        "banner": f"220 mx-{h % 1024}.example ESMTP" if ok else None,
+    }
+
+
 def n_ips_for(n_hosts: int) -> int:
     """IP space ~1/3 of host space → expected ~3 hosts per IP."""
     return max(4, n_hosts // 3)
@@ -199,6 +292,13 @@ class CrawlConfig:
     # scan module (O8/O12/O13): per-module enable flag, mirroring the
     # reference's VisitRequest tls.enabled (/root/reference/src/TODO.MD:69)
     tls_scan: bool = False
+    # DNS prefixes/rrtypes fan-out (O8 completion): per-host record sets
+    # resolved once and cached (reference dns.enabled/prefixes/rrtypes,
+    # /root/reference/src/TODO.MD:57-59)
+    dns_scan: bool = False
+    # SMTP banner grab, per-IP with the O13 cache pattern (reference
+    # smtp.enabled, /root/reference/src/TODO.MD:76)
+    smtp_scan: bool = False
     # time-based politeness: gate hosts on next_allowed_ts <= epoch_ts
     # (range predicate over the host_next state table). Off by default —
     # the per-epoch quota alone reproduces round-1 goldens.

@@ -65,8 +65,12 @@ def test_snapshot_store_contract(spark, tmp_root):
 def test_iceberg_store_contract(spark):
     if not IcebergStore.is_available(spark):
         pytest.skip(
-            "iceberg-spark-runtime jar not on classpath in this sandbox; "
+            "iceberg-spark-runtime jar not on classpath: searched "
+            "pyspark/jars, ~/.ivy2 and ~/.m2 (none exist offline) and the "
+            "sandbox has no network for spark.jars.packages resolution. "
             "IcebergStore is the cluster swap-in (see its docstring for the "
-            "spark-submit config) — contract executed via SnapshotStore"
+            "spark-submit config); its LOGIC is executed against a mocked "
+            "catalog in tests/test_iceberg_mock.py, and the shared contract "
+            "semantics run on SnapshotStore above."
         )
     _contract(IcebergStore(spark), spark)
