@@ -239,10 +239,11 @@ class CrawlEngine:
         persisted.append(pending)
 
         # the frontier is pre-gated at enqueue time (quota on every row):
-        # the whole of pending is schedulable by construction. The wave is
-        # NOT counted here — the single materialization action at the end
-        # of this phase pulls it through its cache, avoiding a serial
-        # barrier between wave selection and the fetch chain.
+        # the whole of pending is schedulable by construction. The wave IS
+        # counted (materialized) before the fetch chain: the payload write
+        # below is detached and must not run at all on an empty wave, so
+        # termination needs the cardinality first. The count is narrow (no
+        # payload columns) — the payload flows only through the one write.
         #
         # time-based politeness (O7): hosts wait out their crawl_delay via
         # the range predicate next_allowed_ts <= epoch_ts against the
@@ -326,13 +327,26 @@ class CrawlEngine:
             persisted.append(new_smtp_rows)
 
         t0 = time.monotonic()
+        # wave cardinality first: an empty wave must terminate (or idle)
+        # BEFORE the payload write below stages any files
+        n_wave = wave.count()
+        _mark("wave_select_count")
+        if n_wave == 0:
+            frontier_size = pending.count() if cfg.time_politeness else 0
+            for df in persisted:
+                df.unpersist()
+            if cfg.time_politeness and frontier_size > 0:
+                # every eligible host is waiting out its crawl delay: an
+                # IDLE epoch — time advances, nothing is scheduled
+                return {"idle": True, "epoch": epoch}
+            return None
+
         wave_cols = wave.select(*FRONTIER_COLS_Q, "wave_pos")
         if self.corpus_bucketed:
             fetched = fetch.fetch_wave_bucketed(wave_cols, self.corpus, cfg)
         else:
             fetched = fetch.fetch_wave(wave_cols, self.corpus, cfg, persisted)
-        # status tallies ride the epoch's one materializing action as an
-        # Observation (computed while rows stream into the cache) — no
+        # status tallies ride the payload write as an Observation — no
         # separate groupBy-count job per epoch
         from pyspark.sql import Observation
 
@@ -349,21 +363,49 @@ class CrawlEngine:
                     )
                 ).cast("long")
             ).alias("n_failed_perm"),
-        ).persist()
-        persisted.append(fetched)
+        )
+
+        # THE payload write: scan → validate → parquet, exactly once. The
+        # fetched table is written HERE (phase 1) as this epoch's
+        # materializing action instead of being persisted into a cache tier
+        # and re-flushed by phase 2 — in the payload-bound regime that cache
+        # write+read moved the whole ~wave-sized byte stream through DRAM
+        # two extra times per epoch. Every narrow consumer below (retry,
+        # perm-failed, outlinks, change detection, metrics) reads the
+        # just-written parquet back COLUMN-PRUNED, so payload bytes flow
+        # through the epoch exactly once. Non-OK rows keep their metadata
+        # but drop their bytes (nobody consumes a failed payload).
+        #
+        # The write is DETACHED (store.write_detached): epoch k-1's commit
+        # can be running concurrently on the flusher, and a registered
+        # stage would race these files into k-1's manifest — phase 2 adopts
+        # the token into THIS epoch's commit. A kill before adoption
+        # orphans unreferenced files; resume re-runs the epoch cleanly.
+        out_cols = fetched.select(
+            *FRONTIER_COLS_Q, "wave_pos", "image_id",
+            F.when(F.col("status") == OK, F.col("bytes")).alias("bytes"),
+            "w", "h", "fmt", "caption", "phash",
+            F.lit(epoch).alias("fetch_epoch"), "status",
+        )
+        fa_token, fa = self.store.write_detached("fetched", out_cols, epoch + 1)
+        fa = fa.where(F.col("fetch_epoch") == epoch)
+        _mark("fetch_write")
 
         from monocator_spark.operators import change
 
+        # change-detection history: committed+staged fetched epochs < this
+        # one (this epoch's own write is detached — not visible to preview)
         hist = (
             self.store.preview(self.spark, "fetched")
             if cfg.change_detection
             else None
         )
-        ok = change.with_screenshot(
-            fetched.where(F.col("status") == OK), hist, epoch, cfg
-        )
+        if hist is not None:
+            hist = hist.where(F.col("status") == OK)
+        ok = fa.where(F.col("status") == OK).drop("bytes")
+        shot = change.with_screenshot(ok, hist, epoch, cfg)
         retry = (
-            fetched.where(
+            fa.where(
                 (F.col("status") == MISSING) & (F.col("retries") < cfg.max_retries)
             )
             .select(
@@ -371,7 +413,7 @@ class CrawlEngine:
                 (F.col("retries") + 1).alias("retries"), "quota",
             )
         )
-        perm_failed = fetched.where(
+        perm_failed = fa.where(
             (F.col("status") != OK)
             & ~((F.col("status") == MISSING) & (F.col("retries") < cfg.max_retries))
         ).select("url_hash", "url_norm", "status", F.lit(epoch).alias("epoch"))
@@ -446,24 +488,17 @@ class CrawlEngine:
             else bloom
         )
 
-        # ONE action materializes the epoch's whole compute chain (wave
-        # rank + fetch + validate + dedup + gate) into the caches above
+        # ONE action materializes the rest of the epoch's compute chain
+        # (outlink dedup + gate + next-frontier) into the caches above —
+        # the payload chain was already materialized by the detached write
         frontier_size = next_frontier.count()
-        n_wave = wave.count()  # cache hit — no recompute
         _mark("compute")
-        if n_wave == 0:
-            for df in persisted:
-                df.unpersist()
-            if cfg.time_politeness and frontier_size > 0:
-                # every eligible host is waiting out its crawl delay: an
-                # IDLE epoch — time advances, nothing is scheduled
-                return {"idle": True, "epoch": epoch}
-            return None
 
         return {
             "epoch": epoch, "t0": t0, "timing": timing, "n_wave": n_wave,
-            "frontier_size": frontier_size, "wave": wave, "fetched": fetched,
-            "ok": ok, "perm_failed": perm_failed, "new_entries": new_entries,
+            "frontier_size": frontier_size, "wave": wave,
+            "fa_token": fa_token, "shot": shot,
+            "perm_failed": perm_failed, "new_entries": new_entries,
             "denied_new": denied_new, "lineage": lineage,
             "next_frontier": next_frontier, "bloom_next": bloom_next,
             "tls_rows": tls_rows, "new_scan_rows": new_scan_rows,
@@ -477,19 +512,23 @@ class CrawlEngine:
     def _phase2(self, ctx: dict, state_ready=None) -> dict:
         """Flush epoch k's tables from its caches, commit, release caches.
 
-        The STATE tables (frontier, seen, bloom) are staged first and
-        ``state_ready`` is signalled so epoch k+1's compute can start; the
-        heavy output flushes (bytes-bearing ``fetched``) and the commit
-        overlap it."""
+        The STATE tables (frontier, seen, bloom, the scan caches, and the
+        adopted ``fetched`` payload — change detection reads it as history)
+        are staged first and ``state_ready`` is signalled so epoch k+1's
+        compute can start; the remaining narrow flushes and the commit
+        overlap it. The payload itself was already written by phase 1's
+        detached write — adoption here only registers the files into THIS
+        epoch's commit."""
         cfg = self.cfg
         st = self.store
         epoch = ctx["epoch"]
         wave = ctx["wave"]
-        ok, perm_failed = ctx["ok"], ctx["perm_failed"]
+        perm_failed = ctx["perm_failed"]
         new_entries, denied_new = ctx["new_entries"], ctx["denied_new"]
         lineage = ctx["lineage"]
         t_flush = time.monotonic()
 
+        st.adopt_append("fetched", ctx["fa_token"])
         st.stage_overwrite("frontier", ctx["next_frontier"], epoch + 1)
         if cfg.follow_outlinks:
             st.stage_append(
@@ -507,24 +546,6 @@ class CrawlEngine:
             # host_next is STATE: next epoch's range gate reads it
             st.stage_overwrite("host_next", ctx["host_next"], epoch + 1)
 
-        def flush_fetched() -> None:
-            st.stage_append(
-                "fetched",
-                ok.select(
-                    "url_hash", "image_id", "bytes", "w", "h", "fmt", "caption",
-                    "phash", F.lit(epoch).alias("fetch_epoch"), "wave_pos", "status",
-                    "prior_phash", "policy", "screenshot",
-                ),
-                epoch + 1,
-            )
-
-        if cfg.change_detection:
-            # under change detection, `fetched` is consumed as STATE: epoch
-            # k+1's _phase1 previews it for the lag-based prior_phash, so it
-            # must be staged BEFORE state_ready fires — exactly like
-            # scan_cache/host_next — or a pipelined epoch could miss the
-            # immediately-previous epoch's fetches nondeterministically.
-            flush_fetched()
         if state_ready is not None:
             state_ready.set()  # next epoch may now preview the staged state
         if ctx["debug"]:
@@ -538,10 +559,19 @@ class CrawlEngine:
                 ),
                 epoch + 1,
             ),
+            # screenshot decisions + lag-derived priors: a NARROW side table
+            # aligned to fetched on (url_hash, fetch_epoch) — the payload
+            # itself was written in phase 1 and merely adopted above
+            lambda: st.stage_append(
+                "shot",
+                ctx["shot"].select(
+                    "url_hash", "fetch_epoch", "prior_phash", "policy",
+                    "screenshot",
+                ),
+                epoch + 1,
+            ),
             lambda: st.stage_append("failed", perm_failed, epoch + 1),
         ]
-        if not cfg.change_detection:
-            flushes.append(flush_fetched)
         if cfg.tls_scan:
             flushes.append(
                 lambda: st.stage_append("tls", ctx["tls_rows"], epoch + 1)
@@ -747,7 +777,23 @@ class CrawlEngine:
         return self.store.load(self.spark, "seen")
 
     def fetched_df(self) -> DataFrame:
-        return self.store.load(self.spark, "fetched")
+        """The crawl's OK-fetch output in its golden shape: the payload
+        table (written once per epoch by phase 1) joined to the narrow
+        ``shot`` side table on (url_hash, fetch_epoch) — unique per row, a
+        URL is in at most one wave per epoch."""
+        fa = self.store.load(self.spark, "fetched")
+        shot = self.store.load(self.spark, "shot")
+        if fa is None or shot is None:
+            return fa
+        return (
+            fa.where(F.col("status") == OK)
+            .join(shot, ["url_hash", "fetch_epoch"])
+            .select(
+                "url_hash", "image_id", "bytes", "w", "h", "fmt", "caption",
+                "phash", "fetch_epoch", "wave_pos", "status",
+                "prior_phash", "policy", "screenshot",
+            )
+        )
 
     def tls_df(self) -> DataFrame:
         return self.store.load(self.spark, "tls")

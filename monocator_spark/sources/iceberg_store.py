@@ -47,8 +47,10 @@ class IcebergStore:
     def __init__(self, spark: SparkSession, catalog: str = "local",
                  namespace: str = "mono"):
         self.spark = spark
+        self.catalog = catalog
         self.ns = f"{catalog}.{namespace}"
         self._staged: dict[str, dict] = {}  # table -> {"mode", "snapshots"}
+        self._written: set[str] = set()  # tables written this store lifetime
         self._lock = threading.Lock()
         spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {self.ns}")
         spark.sql(
@@ -110,6 +112,42 @@ class IcebergStore:
                 )
                 st["snapshots"].append(snap)
 
+    def _reconcile(self, table: str) -> None:
+        """Resume-time head/pin reconciliation, once per table per store
+        lifetime, before the table's FIRST append of this session.
+
+        A crashed epoch's appends (or an abort) leave snapshots past the
+        last committed pin. Unlike the parquet fallback — where orphaned
+        dirs stay invisible forever — a later Iceberg append builds on the
+        CURRENT head, so those unpinned rows would silently re-enter every
+        subsequent snapshot: a resume would then re-append the same rows
+        and duplicate them. Rolling the table back to its pin before the
+        first write restores the fallback's invisibility guarantee.
+        In-session, heads legitimately run ahead of pins (an epoch's own
+        staged/detached writes), hence once-per-table, not per-write."""
+        with self._lock:
+            if table in self._written:
+                return
+            self._written.add(table)
+        tbl = self._tbl(table)
+        if not self.spark.catalog.tableExists(tbl):
+            return
+        last = self.last_epoch()
+        if last is None:
+            return
+        pin = self._committed().get(last, {}).get(table)
+        if pin is None:
+            # the table exists only through unpinned (crashed) writes — no
+            # committed epoch ever carried it (commits carry complete pin
+            # tuples forward), so it doesn't exist as far as the contract
+            # is concerned: recreate from scratch
+            self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        elif self._last_snapshot_id(table) != pin:
+            self.spark.sql(
+                f"CALL {self.catalog}.system.rollback_to_snapshot"
+                f"('{tbl}', {pin})"
+            )
+
     def _committed(self) -> dict[int, dict[str, int]]:
         """epoch -> {table: pinned snapshot_id} from the __epochs table."""
         out: dict[int, dict[str, int]] = {}
@@ -127,6 +165,7 @@ class IcebergStore:
         # a genuine append failure on an existing table — schema drift, FS
         # error — must propagate as itself, not resurface as a confusing
         # "table already exists" from the create() fallback.
+        self._reconcile(table)
         tbl = self._tbl(table)
         if self.spark.catalog.tableExists(tbl):
             df.writeTo(tbl).append()
@@ -135,8 +174,35 @@ class IcebergStore:
         self._record(table, "append")
 
     def stage_overwrite(self, table: str, df: DataFrame, epoch: int) -> None:
+        # createOrReplace discards the head outright — no reconcile needed,
+        # but the table is now session-written
+        with self._lock:
+            self._written.add(table)
         df.writeTo(self._tbl(table)).createOrReplace()
         self._record(table, "overwrite")
+
+    def write_detached(self, table: str, df: DataFrame, epoch: int):
+        """Iceberg twin of ``SnapshotStore.write_detached``: the append
+        creates an (unpinned) snapshot — visible in table history, reachable
+        by no ``__epochs`` row until ``adopt_append`` registers it, the same
+        crashed-write invisibility. Returns (snapshot_id, DataFrame pinned
+        to it). The pinned read includes prior rows (append = base + new),
+        so the engine filters on its epoch column — which it does anyway."""
+        self._reconcile(table)
+        tbl = self._tbl(table)
+        if self.spark.catalog.tableExists(tbl):
+            df.writeTo(tbl).append()
+        else:
+            df.writeTo(tbl).create()
+        snap = self._last_snapshot_id(table)
+        return snap, self._read_pinned(table, snap)
+
+    def adopt_append(self, table: str, token) -> None:
+        with self._lock:
+            st = self._staged.setdefault(
+                table, {"mode": "append", "snapshots": []}
+            )
+            st["snapshots"].append(token)
 
     def stage_append_local(self, table: str, rows: list[dict], schema, epoch: int) -> None:
         import pyarrow as pa
@@ -182,10 +248,28 @@ class IcebergStore:
             self._staged = {}
 
     def abort(self) -> None:
-        # staged snapshots stay in table history but are never pinned;
-        # Iceberg's expire_snapshots maintenance reclaims them
+        """Drop the staging set AND restore every staged table to its last
+        committed pin — a bare unpin is not enough on Iceberg, because a
+        later append would build on the abandoned head and resurrect the
+        aborted rows (see ``_reconcile``). Tables with no committed pin yet
+        (created by the aborted staging) are dropped outright, matching the
+        parquet fallback where a table doesn't exist until its first
+        commit."""
         with self._lock:
+            staged = list(self._staged)
             self._staged = {}
+            self._written.difference_update(staged)
+        last = self.last_epoch()
+        pins = self._committed().get(last, {}) if last is not None else {}
+        for t in staged:
+            pin = pins.get(t)
+            if pin is None:
+                self.spark.sql(f"DROP TABLE IF EXISTS {self._tbl(t)}")
+            elif self._last_snapshot_id(t) != pin:
+                self.spark.sql(
+                    f"CALL {self.catalog}.system.rollback_to_snapshot"
+                    f"('{self._tbl(t)}', {pin})"
+                )
 
     # -- reads -----------------------------------------------------------------
     def last_epoch(self) -> int | None:

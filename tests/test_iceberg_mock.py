@@ -179,6 +179,20 @@ class FakeIcebergSession:
                 key=lambda r: r["tbl"],
             )
             return FakeDF(self, rows[:1])
+        m = re.match(
+            r"CALL \S+\.system\.rollback_to_snapshot\('(\S+)', (\d+)\)", q
+        )
+        if m:
+            # documented Iceberg procedure: move the branch head back to an
+            # existing snapshot (data files untouched, head pointer moves)
+            tbl, snap = m.group(1), int(m.group(2))
+            assert snap in self.tables[tbl]["snapshots"], "unknown snapshot"
+            self.tables[tbl]["current"] = snap
+            return FakeDF(self, [])
+        m = re.match(r"DROP TABLE IF EXISTS (\S+)", q)
+        if m:
+            self.tables.pop(m.group(1), None)
+            return FakeDF(self, [])
         raise AssertionError(f"fake session: unexpected SQL {q!r}")
 
 
@@ -214,10 +228,72 @@ def test_iceberg_contract_on_mock(fake):
     assert store.load(fake, "t", epoch=0).count() == 5  # time travel
     assert store.meta(0) == {"crawl_epoch": -1}
 
-    store.stage_append("t", df2, 2)
-    store.abort()
+    # detached write (mirrors _contract's block): invisible to preview and
+    # load until adopted; the pinned read includes prior rows — the engine
+    # filters on its epoch column
+    df3 = fake.range(100, 103).toDF("x")
+    tok, back = store.write_detached("t", df3, 2)
+    assert sum(1 for r in back.collect() if r["x"] >= 100) == 3
     assert store.load(fake, "t").count() == 8
-    assert store.last_epoch() == 1
+    assert store.preview(fake, "t").count() == 8
+    store.adopt_append("t", tok)
+    assert store.load(fake, "t").count() == 8  # adoption stages, not commits
+    assert store.preview(fake, "t").count() == 11
+    store.commit(2, {"crawl_epoch": 1})
+    assert store.load(fake, "t").count() == 11
+
+    store.stage_append("t", df2, 3)
+    store.abort()
+    assert store.load(fake, "t").count() == 11
+    assert store.last_epoch() == 2
+
+
+def test_resume_reconciles_crashed_appends(fake):
+    """Appends left behind by a crashed epoch must NOT resurface through the
+    resumed run's appends: a later Iceberg append builds on the current
+    head, so without the first-write rollback the re-run would duplicate
+    the crashed epoch's rows (the parquet fallback gets this invisibility
+    for free from unreferenced dirs)."""
+    store = IcebergStore(fake)
+    store.stage_overwrite("t", fake.range(3).toDF("x"), 0)
+    store.commit(0, {"crawl_epoch": -1})
+    # epoch 1 stages an append, then the process dies before commit
+    store.stage_append("t", fake.range(3, 5).toDF("x"), 1)
+    del store
+
+    resumed = IcebergStore(fake)  # fresh store, same catalog
+    assert resumed.load(fake, "t").count() == 3  # pin still epoch 0
+    resumed.stage_append("t", fake.range(3, 5).toDF("x"), 1)  # the re-run
+    resumed.commit(1, {"crawl_epoch": 0})
+    assert resumed.load(fake, "t").count() == 5  # NOT 7
+
+    # same for a crashed DETACHED write (the epoch pipeline's payload path)
+    resumed.write_detached("u", fake.range(4).toDF("x"), 2)
+    resumed.commit(2, {"crawl_epoch": 1})  # token never adopted → unpinned
+    del resumed
+    again = IcebergStore(fake)
+    tok, _ = again.write_detached("u", fake.range(4).toDF("x"), 2)
+    again.adopt_append("u", tok)
+    again.commit(3, {"crawl_epoch": 2})
+    assert again.load(fake, "u").count() == 4  # NOT 8
+
+
+def test_abort_restores_pins_and_drops_unborn_tables(fake):
+    """abort() must roll staged tables back to their committed pin (a later
+    append would otherwise build on the abandoned head) and drop tables the
+    aborted staging created — they don't exist until their first commit."""
+    store = IcebergStore(fake)
+    store.stage_overwrite("t", fake.range(3).toDF("x"), 0)
+    store.commit(0, {"crawl_epoch": -1})
+    store.stage_append("t", fake.range(3, 6).toDF("x"), 1)
+    store.stage_append("brand_new", fake.range(2).toDF("x"), 1)
+    store.abort()
+    assert store.load(fake, "t").count() == 3
+    assert not fake.catalog.tableExists(store._tbl("brand_new"))
+    # post-abort appends build on the restored head, not the aborted one
+    store.stage_append("t", fake.range(3, 6).toDF("x"), 1)
+    store.commit(1, {"crawl_epoch": 0})
+    assert store.load(fake, "t").count() == 6
 
 
 def test_pin_carry_forward(fake):
