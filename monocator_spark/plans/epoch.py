@@ -239,11 +239,10 @@ class CrawlEngine:
         persisted.append(pending)
 
         # the frontier is pre-gated at enqueue time (quota on every row):
-        # the whole of pending is schedulable by construction. The wave IS
-        # counted (materialized) before the fetch chain: the payload write
-        # below is detached and must not run at all on an empty wave, so
-        # termination needs the cardinality first. The count is narrow (no
-        # payload columns) — the payload flows only through the one write.
+        # the whole of pending is schedulable by construction. The wave is
+        # NOT counted here — its cardinality rides the detached payload
+        # write's Observation, so there is no serial barrier between wave
+        # selection and the fetch chain.
         #
         # time-based politeness (O7): hosts wait out their crawl_delay via
         # the range predicate next_allowed_ts <= epoch_ts against the
@@ -327,20 +326,6 @@ class CrawlEngine:
             persisted.append(new_smtp_rows)
 
         t0 = time.monotonic()
-        # wave cardinality first: an empty wave must terminate (or idle)
-        # BEFORE the payload write below stages any files
-        n_wave = wave.count()
-        _mark("wave_select_count")
-        if n_wave == 0:
-            frontier_size = pending.count() if cfg.time_politeness else 0
-            for df in persisted:
-                df.unpersist()
-            if cfg.time_politeness and frontier_size > 0:
-                # every eligible host is waiting out its crawl delay: an
-                # IDLE epoch — time advances, nothing is scheduled
-                return {"idle": True, "epoch": epoch}
-            return None
-
         wave_cols = wave.select(*FRONTIER_COLS_Q, "wave_pos")
         if self.corpus_bucketed:
             fetched = fetch.fetch_wave_bucketed(wave_cols, self.corpus, cfg)
@@ -353,6 +338,7 @@ class CrawlEngine:
         status_obs = Observation(f"status-{epoch}")
         fetched = fetched.observe(
             status_obs,
+            F.count(F.lit(1)).alias("n_rows"),  # = wave size: 1 row per URL
             F.sum((F.col("status") == OK).cast("long")).alias("n_ok"),
             F.sum(
                 (
@@ -389,7 +375,21 @@ class CrawlEngine:
         )
         fa_token, fa = self.store.write_detached("fetched", out_cols, epoch + 1)
         fa = fa.where(F.col("fetch_epoch") == epoch)
+        # wave cardinality rides the write's Observation — no separate
+        # count barrier between wave selection and the fetch chain. An
+        # empty terminal/idle wave leaves an empty detached dir behind:
+        # never adopted, invisible by the detached-write contract.
+        n_wave = int(status_obs.get["n_rows"])
         _mark("fetch_write")
+        if n_wave == 0:
+            frontier_size = pending.count() if cfg.time_politeness else 0
+            for df in persisted:
+                df.unpersist()
+            if cfg.time_politeness and frontier_size > 0:
+                # every eligible host is waiting out its crawl delay: an
+                # IDLE epoch — time advances, nothing is scheduled
+                return {"idle": True, "epoch": epoch}
+            return None
 
         from monocator_spark.operators import change
 
