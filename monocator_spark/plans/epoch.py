@@ -188,22 +188,25 @@ class CrawlEngine:
 
     # -- one epoch, two pipelined phases ----------------------------------------
     #
-    # _phase1 = the epoch's heavy COMPUTE: wave selection, fetch+validate,
-    #   outlink dedup+gate, next-frontier — everything materialized into
-    #   caches, zero table writes.
-    # _phase2 = the epoch's FLUSH: all table writes + counts from those
-    #   caches (concurrent jobs), then the atomic manifest commit.
+    # _phase1 = the epoch's heavy COMPUTE: wave selection, fetch+validate
+    #   (materialized by the ONE detached payload write — bytes flow
+    #   through the epoch exactly once), outlink dedup+gate, next-frontier
+    #   into caches. The only table write is the detached one, invisible to
+    #   every commit until phase 2 adopts it.
+    # _phase2 = the epoch's FLUSH: adopt the payload write, stage the
+    #   narrow tables from the caches (concurrent jobs), then the atomic
+    #   manifest commit.
     #
-    # run() overlaps _phase2(k) with _phase1(k+1): _phase2 stages the three
-    # STATE tables (frontier / seen / bloom) first and signals
-    # ``state_ready``; epoch k+1 then reads that staged state (via
-    # SnapshotStore.preview — fresh parquet reads, so logical plans never
-    # chain across epochs) while epoch k's heavy output flushes (the
-    # bytes-bearing `fetched` table) and its commit still run in the
-    # background. A single ordered flusher thread guarantees commits land
-    # strictly in epoch order — a kill at ANY point resumes exactly from
-    # the last committed manifest. This is the async-checkpoint pattern a
-    # cluster deployment would use with Iceberg commits.
+    # run() overlaps _phase2(k) with _phase1(k+1): _phase2 adopts the
+    # payload and stages the STATE tables (frontier / seen / bloom, scan
+    # caches) first and signals ``state_ready``; epoch k+1 then reads that
+    # staged state (via SnapshotStore.preview — fresh parquet reads, so
+    # logical plans never chain across epochs) while epoch k's narrow
+    # flushes and its commit still run in the background. A single ordered
+    # flusher thread guarantees commits land strictly in epoch order — a
+    # kill at ANY point resumes exactly from the last committed manifest.
+    # This is the async-checkpoint pattern a cluster deployment would use
+    # with Iceberg commits.
 
     def _phase1(self, epoch: int, state_ready) -> dict | None:
         import os
