@@ -189,24 +189,25 @@ class CrawlEngine:
     # -- one epoch, two pipelined phases ----------------------------------------
     #
     # _phase1 = the epoch's heavy COMPUTE: wave selection, fetch+validate
-    #   (materialized by the ONE detached payload write — bytes flow
-    #   through the epoch exactly once), outlink dedup+gate, next-frontier
-    #   into caches. The only table write is the detached one, invisible to
-    #   every commit until phase 2 adopts it.
-    # _phase2 = the epoch's FLUSH: adopt the payload write, stage the
-    #   narrow tables from the caches (concurrent jobs), then the atomic
-    #   manifest commit.
+    #   (payload bytes flow corpus-scan → validate UDF → dropped; only the
+    #   NARROW validate output is cached), outlink dedup+gate,
+    #   next-frontier — everything materialized into caches by one action,
+    #   zero table writes.
+    # _phase2 = the epoch's FLUSH: all table writes from those caches
+    #   (concurrent jobs) — including the bytes-bearing ``fetched`` table,
+    #   rebuilt by a corpus re-join (_payload_rows) so the byte stream
+    #   never sits in a cache tier — then the atomic manifest commit.
     #
-    # run() overlaps _phase2(k) with _phase1(k+1): _phase2 adopts the
-    # payload and stages the STATE tables (frontier / seen / bloom, scan
-    # caches) first and signals ``state_ready``; epoch k+1 then reads that
-    # staged state (via SnapshotStore.preview — fresh parquet reads, so
-    # logical plans never chain across epochs) while epoch k's narrow
-    # flushes and its commit still run in the background. A single ordered
-    # flusher thread guarantees commits land strictly in epoch order — a
-    # kill at ANY point resumes exactly from the last committed manifest.
-    # This is the async-checkpoint pattern a cluster deployment would use
-    # with Iceberg commits.
+    # run() overlaps _phase2(k) with _phase1(k+1): _phase2 stages the
+    # STATE tables (frontier / seen / bloom, scan caches) first and
+    # signals ``state_ready``; epoch k+1 then reads that staged state (via
+    # SnapshotStore.preview — fresh parquet reads, so logical plans never
+    # chain across epochs) while epoch k's heavy payload flush and its
+    # commit still run in the background. A single ordered flusher thread
+    # guarantees commits land strictly in epoch order — a kill at ANY
+    # point resumes exactly from the last committed manifest. This is the
+    # async-checkpoint pattern a cluster deployment would use with Iceberg
+    # commits.
 
     def _phase1(self, epoch: int, state_ready) -> dict | None:
         import os
@@ -243,9 +244,9 @@ class CrawlEngine:
 
         # the frontier is pre-gated at enqueue time (quota on every row):
         # the whole of pending is schedulable by construction. The wave is
-        # NOT counted here — its cardinality rides the detached payload
-        # write's Observation, so there is no serial barrier between wave
-        # selection and the fetch chain.
+        # NOT counted here — its cardinality rides the epoch's single
+        # materializing action as an Observation, so there is no serial
+        # barrier between wave selection and the fetch chain.
         #
         # time-based politeness (O7): hosts wait out their crawl_delay via
         # the range predicate next_allowed_ts <= epoch_ts against the
@@ -334,12 +335,27 @@ class CrawlEngine:
             fetched = fetch.fetch_wave_bucketed(wave_cols, self.corpus, cfg)
         else:
             fetched = fetch.fetch_wave(wave_cols, self.corpus, cfg, persisted)
-        # status tallies ride the payload write as an Observation — no
-        # separate groupBy-count job per epoch
+        # status tallies ride the epoch's one materializing action as an
+        # Observation — no separate groupBy-count job per epoch
         from pyspark.sql import Observation
 
         status_obs = Observation(f"status-{epoch}")
-        fetched = fetched.observe(
+        # THE epoch's one critical-path byte pass: corpus scan → validate
+        # UDF → bytes DROPPED. Only this NARROW validate output (`meta`) is
+        # cached; every phase-1 consumer (retry, perm-failed, outlinks,
+        # change detection, metrics) reads it. The bytes-bearing `fetched`
+        # table is written by phase 2 on the flusher via a corpus re-join
+        # (see _payload_rows — no UDF re-run: an OK row's stored bytes ARE
+        # its corpus bytes verbatim, the validator only computes status),
+        # overlapped with epoch k+1's compute. Net: the payload-bound
+        # regime's old cache tier (cache write + cache read of the whole
+        # wave's bytes, 2 extra DRAM passes) is gone AND the disk write
+        # stays off the critical path.
+        meta = fetched.select(
+            *FRONTIER_COLS_Q, "wave_pos", "image_id",
+            "w", "h", "fmt", "caption", "phash",
+            F.lit(epoch).alias("fetch_epoch"), "status",
+        ).observe(
             status_obs,
             F.count(F.lit(1)).alias("n_rows"),  # = wave size: 1 row per URL
             F.sum((F.col("status") == OK).cast("long")).alias("n_ok"),
@@ -352,52 +368,13 @@ class CrawlEngine:
                     )
                 ).cast("long")
             ).alias("n_failed_perm"),
-        )
-
-        # THE payload write: scan → validate → parquet, exactly once. The
-        # fetched table is written HERE (phase 1) as this epoch's
-        # materializing action instead of being persisted into a cache tier
-        # and re-flushed by phase 2 — in the payload-bound regime that cache
-        # write+read moved the whole ~wave-sized byte stream through DRAM
-        # two extra times per epoch. Every narrow consumer below (retry,
-        # perm-failed, outlinks, change detection, metrics) reads the
-        # just-written parquet back COLUMN-PRUNED, so payload bytes flow
-        # through the epoch exactly once. Non-OK rows keep their metadata
-        # but drop their bytes (nobody consumes a failed payload).
-        #
-        # The write is DETACHED (store.write_detached): epoch k-1's commit
-        # can be running concurrently on the flusher, and a registered
-        # stage would race these files into k-1's manifest — phase 2 adopts
-        # the token into THIS epoch's commit. A kill before adoption
-        # orphans unreferenced files; resume re-runs the epoch cleanly.
-        out_cols = fetched.select(
-            *FRONTIER_COLS_Q, "wave_pos", "image_id",
-            F.when(F.col("status") == OK, F.col("bytes")).alias("bytes"),
-            "w", "h", "fmt", "caption", "phash",
-            F.lit(epoch).alias("fetch_epoch"), "status",
-        )
-        fa_token, fa = self.store.write_detached("fetched", out_cols, epoch + 1)
-        fa = fa.where(F.col("fetch_epoch") == epoch)
-        # wave cardinality rides the write's Observation — no separate
-        # count barrier between wave selection and the fetch chain. An
-        # empty terminal/idle wave leaves an empty detached dir behind:
-        # never adopted, invisible by the detached-write contract.
-        n_wave = int(status_obs.get["n_rows"])
-        _mark("fetch_write")
-        if n_wave == 0:
-            frontier_size = pending.count() if cfg.time_politeness else 0
-            for df in persisted:
-                df.unpersist()
-            if cfg.time_politeness and frontier_size > 0:
-                # every eligible host is waiting out its crawl delay: an
-                # IDLE epoch — time advances, nothing is scheduled
-                return {"idle": True, "epoch": epoch}
-            return None
+        ).persist()
+        persisted.append(meta)
 
         from monocator_spark.operators import change
 
         # change-detection history: committed+staged fetched epochs < this
-        # one (this epoch's own write is detached — not visible to preview)
+        # one (this epoch's own rows join in via `meta` below)
         hist = (
             self.store.preview(self.spark, "fetched")
             if cfg.change_detection
@@ -405,10 +382,10 @@ class CrawlEngine:
         )
         if hist is not None:
             hist = hist.where(F.col("status") == OK)
-        ok = fa.where(F.col("status") == OK).drop("bytes")
+        ok = meta.where(F.col("status") == OK)
         shot = change.with_screenshot(ok, hist, epoch, cfg)
         retry = (
-            fa.where(
+            meta.where(
                 (F.col("status") == MISSING) & (F.col("retries") < cfg.max_retries)
             )
             .select(
@@ -416,7 +393,7 @@ class CrawlEngine:
                 (F.col("retries") + 1).alias("retries"), "quota",
             )
         )
-        perm_failed = fa.where(
+        perm_failed = meta.where(
             (F.col("status") != OK)
             & ~((F.col("status") == MISSING) & (F.col("retries") < cfg.max_retries))
         ).select("url_hash", "url_norm", "status", F.lit(epoch).alias("epoch"))
@@ -491,16 +468,26 @@ class CrawlEngine:
             else bloom
         )
 
-        # ONE action materializes the rest of the epoch's compute chain
-        # (outlink dedup + gate + next-frontier) into the caches above —
-        # the payload chain was already materialized by the detached write
+        # ONE action materializes the epoch's whole compute chain (wave
+        # rank + fetch + validate + dedup + gate + next-frontier) into the
+        # caches above; the wave cardinality and status tallies ride it as
+        # Observations — zero extra jobs
         frontier_size = next_frontier.count()
+        n_wave = int(status_obs.get["n_rows"])
         _mark("compute")
+        if n_wave == 0:
+            for df in persisted:
+                df.unpersist()
+            if cfg.time_politeness and frontier_size > 0:
+                # every eligible host is waiting out its crawl delay: an
+                # IDLE epoch — time advances, nothing is scheduled
+                return {"idle": True, "epoch": epoch}
+            return None
 
         return {
             "epoch": epoch, "t0": t0, "timing": timing, "n_wave": n_wave,
             "frontier_size": frontier_size, "wave": wave,
-            "fa_token": fa_token, "shot": shot,
+            "meta": meta, "shot": shot,
             "perm_failed": perm_failed, "new_entries": new_entries,
             "denied_new": denied_new, "lineage": lineage,
             "next_frontier": next_frontier, "bloom_next": bloom_next,
@@ -512,16 +499,39 @@ class CrawlEngine:
             "persisted": persisted, "debug": _debug,
         }
 
+    def _payload_rows(self, meta: DataFrame) -> DataFrame:
+        """The bytes-bearing ``fetched`` rows for one epoch, from the narrow
+        validate output: OK rows re-join the corpus for their payload (an OK
+        row's stored bytes ARE its corpus bytes — the validator only derives
+        status, never rewrites the body), non-OK rows carry NULL bytes
+        (nobody consumes a failed payload). The wave-bounded narrow side
+        broadcasts below cfg.wave_broadcast_max (shuffle join above — and
+        against the bucketed corpus layout only the narrow side ever
+        shuffles); the corpus scan is pruned to (image_id, bytes)."""
+        from monocator_spark.operators.hints import wave_side
+
+        okm = meta.where(F.col("status") == OK)
+        with_b = self.corpus.select("image_id", "bytes").join(
+            wave_side(okm, self.cfg), "image_id", "inner"
+        )
+        rest = meta.where(F.col("status") != OK).withColumn(
+            "bytes", F.lit(None).cast("binary")
+        )
+        return with_b.unionByName(rest).select(
+            *FRONTIER_COLS_Q, "wave_pos", "image_id", "bytes",
+            "w", "h", "fmt", "caption", "phash", "fetch_epoch", "status",
+        )
+
     def _phase2(self, ctx: dict, state_ready=None) -> dict:
         """Flush epoch k's tables from its caches, commit, release caches.
 
-        The STATE tables (frontier, seen, bloom, the scan caches, and the
-        adopted ``fetched`` payload — change detection reads it as history)
-        are staged first and ``state_ready`` is signalled so epoch k+1's
-        compute can start; the remaining narrow flushes and the commit
-        overlap it. The payload itself was already written by phase 1's
-        detached write — adoption here only registers the files into THIS
-        epoch's commit."""
+        The STATE tables (frontier, seen, bloom, the scan caches) are
+        staged first and ``state_ready`` is signalled so epoch k+1's
+        compute can start; the heavy payload flush (the corpus re-join
+        writing ``fetched``, see _payload_rows), the narrow flushes and the
+        commit overlap it. Under change detection ``fetched`` is consumed
+        as STATE (epoch k+1 previews it for the lag-based prior_phash), so
+        it too must be staged before ``state_ready`` fires."""
         cfg = self.cfg
         st = self.store
         epoch = ctx["epoch"]
@@ -531,7 +541,11 @@ class CrawlEngine:
         lineage = ctx["lineage"]
         t_flush = time.monotonic()
 
-        st.adopt_append("fetched", ctx["fa_token"])
+        def flush_fetched() -> None:
+            st.stage_append("fetched", self._payload_rows(ctx["meta"]), epoch + 1)
+
+        if cfg.change_detection:
+            flush_fetched()
         st.stage_overwrite("frontier", ctx["next_frontier"], epoch + 1)
         if cfg.follow_outlinks:
             st.stage_append(
@@ -563,8 +577,7 @@ class CrawlEngine:
                 epoch + 1,
             ),
             # screenshot decisions + lag-derived priors: a NARROW side table
-            # aligned to fetched on (url_hash, fetch_epoch) — the payload
-            # itself was written in phase 1 and merely adopted above
+            # aligned to fetched on (url_hash, fetch_epoch)
             lambda: st.stage_append(
                 "shot",
                 ctx["shot"].select(
@@ -575,6 +588,8 @@ class CrawlEngine:
             ),
             lambda: st.stage_append("failed", perm_failed, epoch + 1),
         ]
+        if not cfg.change_detection:
+            flushes.append(flush_fetched)
         if cfg.tls_scan:
             flushes.append(
                 lambda: st.stage_append("tls", ctx["tls_rows"], epoch + 1)

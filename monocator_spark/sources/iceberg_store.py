@@ -181,29 +181,6 @@ class IcebergStore:
         df.writeTo(self._tbl(table)).createOrReplace()
         self._record(table, "overwrite")
 
-    def write_detached(self, table: str, df: DataFrame, epoch: int):
-        """Iceberg twin of ``SnapshotStore.write_detached``: the append
-        creates an (unpinned) snapshot — visible in table history, reachable
-        by no ``__epochs`` row until ``adopt_append`` registers it, the same
-        crashed-write invisibility. Returns (snapshot_id, DataFrame pinned
-        to it). The pinned read includes prior rows (append = base + new),
-        so the engine filters on its epoch column — which it does anyway."""
-        self._reconcile(table)
-        tbl = self._tbl(table)
-        if self.spark.catalog.tableExists(tbl):
-            df.writeTo(tbl).append()
-        else:
-            df.writeTo(tbl).create()
-        snap = self._last_snapshot_id(table)
-        return snap, self._read_pinned(table, snap)
-
-    def adopt_append(self, table: str, token) -> None:
-        with self._lock:
-            st = self._staged.setdefault(
-                table, {"mode": "append", "snapshots": []}
-            )
-            st["snapshots"].append(token)
-
     def stage_append_local(self, table: str, rows: list[dict], schema, epoch: int) -> None:
         import pyarrow as pa
 

@@ -99,31 +99,6 @@ class SnapshotStore:
         with self._lock:
             self._staged[table] = {"mode": "overwrite", "dirs": [d]}
 
-    def write_detached(self, table: str, df: DataFrame, epoch: int):
-        """Write ``df``'s files for ``table`` WITHOUT registering them in the
-        staged set; returns (token, DataFrame-over-exactly-these-rows).
-
-        This is the epoch pipeline's payload-write primitive: epoch k+1's
-        compute phase writes its heavy output while epoch k's commit may be
-        running concurrently on the flusher — a normal ``stage_append``
-        would race into epoch k's manifest (and a kill would then duplicate
-        the rows on resume). A detached write is invisible to every commit
-        until the owning epoch's flush phase adopts it via
-        ``adopt_append``; until then a kill simply orphans unreferenced
-        files (same invisibility rule as a crashed stage)."""
-        d = self._stage_dir(table, epoch)
-        _writer(df).mode("overwrite").parquet(d)
-        spark = df.sparkSession
-        return d, spark.read.parquet(d)
-
-    def adopt_append(self, table: str, token) -> None:
-        """Register a ``write_detached`` result as a staged append — called
-        by the owning epoch's flush phase, on the ordered flusher, so the
-        files enter exactly that epoch's commit."""
-        with self._lock:
-            self._staged.setdefault(table, {"mode": "append", "dirs": []})
-            self._staged[table]["dirs"].append(token)
-
     def stage_append_local(self, table: str, rows: list[dict], schema, epoch: int) -> None:
         """Append a tiny driver-side table (e.g. the 1-row epoch metrics)
         without launching a Spark job: pyarrow writes the parquet file

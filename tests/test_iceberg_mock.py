@@ -228,24 +228,10 @@ def test_iceberg_contract_on_mock(fake):
     assert store.load(fake, "t", epoch=0).count() == 5  # time travel
     assert store.meta(0) == {"crawl_epoch": -1}
 
-    # detached write (mirrors _contract's block): invisible to preview and
-    # load until adopted; the pinned read includes prior rows — the engine
-    # filters on its epoch column
-    df3 = fake.range(100, 103).toDF("x")
-    tok, back = store.write_detached("t", df3, 2)
-    assert sum(1 for r in back.collect() if r["x"] >= 100) == 3
-    assert store.load(fake, "t").count() == 8
-    assert store.preview(fake, "t").count() == 8
-    store.adopt_append("t", tok)
-    assert store.load(fake, "t").count() == 8  # adoption stages, not commits
-    assert store.preview(fake, "t").count() == 11
-    store.commit(2, {"crawl_epoch": 1})
-    assert store.load(fake, "t").count() == 11
-
-    store.stage_append("t", df2, 3)
+    store.stage_append("t", df2, 2)
     store.abort()
-    assert store.load(fake, "t").count() == 11
-    assert store.last_epoch() == 2
+    assert store.load(fake, "t").count() == 8
+    assert store.last_epoch() == 1
 
 
 def test_resume_reconciles_crashed_appends(fake):
@@ -267,14 +253,13 @@ def test_resume_reconciles_crashed_appends(fake):
     resumed.commit(1, {"crawl_epoch": 0})
     assert resumed.load(fake, "t").count() == 5  # NOT 7
 
-    # same for a crashed DETACHED write (the epoch pipeline's payload path)
-    resumed.write_detached("u", fake.range(4).toDF("x"), 2)
-    resumed.commit(2, {"crawl_epoch": 1})  # token never adopted → unpinned
-    del resumed
+    # same for a table CREATED entirely by a crashed epoch's append: no
+    # committed epoch ever pinned it, so the resumed run recreates it
+    resumed.stage_append("u", fake.range(4).toDF("x"), 2)
+    del resumed  # dies before commit — "u" exists but is unpinned
     again = IcebergStore(fake)
-    tok, _ = again.write_detached("u", fake.range(4).toDF("x"), 2)
-    again.adopt_append("u", tok)
-    again.commit(3, {"crawl_epoch": 2})
+    again.stage_append("u", fake.range(4).toDF("x"), 2)
+    again.commit(2, {"crawl_epoch": 1})
     assert again.load(fake, "u").count() == 4  # NOT 8
 
 

@@ -14,8 +14,7 @@ from monocator_spark.sources.iceberg_store import IcebergStore
 from monocator_spark.sources.store import SnapshotStore
 
 PUBLIC = [
-    "stage_append", "stage_overwrite", "stage_append_local",
-    "write_detached", "adopt_append", "commit",
+    "stage_append", "stage_overwrite", "stage_append_local", "commit",
     "abort", "preview", "load", "last_epoch", "meta",
 ]
 
@@ -52,26 +51,11 @@ def _contract(store, spark):
     assert store.load(spark, "t", epoch=0).count() == 5
     assert store.meta(0) == {"crawl_epoch": -1}
 
-    # detached write: rows exist on storage but are invisible to preview
-    # AND load until the owning epoch adopts them; the returned frame
-    # contains the written rows (on Iceberg the pinned read also includes
-    # prior table rows — the engine filters on its epoch column)
-    df3 = spark.range(100, 103).toDF("x")
-    tok, back = store.write_detached("t", df3, 2)
-    assert back.where("x >= 100").count() == 3
-    assert store.load(spark, "t").count() == 8
-    assert store.preview(spark, "t").count() == 8
-    store.adopt_append("t", tok)
-    assert store.load(spark, "t").count() == 8  # adoption stages, not commits
-    assert store.preview(spark, "t").count() == 11
-    store.commit(2, {"crawl_epoch": 1})
-    assert store.load(spark, "t").count() == 11
-
     # abort drops staging without touching committed state
-    store.stage_append("t", df2, 3)
+    store.stage_append("t", df2, 2)
     store.abort()
-    assert store.load(spark, "t").count() == 11
-    assert store.last_epoch() == 2
+    assert store.load(spark, "t").count() == 8
+    assert store.last_epoch() == 1
 
 
 def test_snapshot_store_contract(spark, tmp_root):
