@@ -308,6 +308,15 @@ class CrawlConfig:
     # fetch_epoch per image). Off by default: without forced recrawl every
     # fetch is a first fetch, so the lookup would be pure overhead.
     change_detection: bool = False
+    # MEASUREMENT-ONLY flag: replace the decode/PSNR/caption/phash
+    # validation UDF with a pure-Catalyst status (null→MISSING,
+    # oversize→OVERSIZE, else OK — no INVALID detection, no Arrow
+    # boundary, zero Python CPU). Valid only on worlds whose payloads are
+    # all well-formed (every bench world: failed=0), where statuses and
+    # the order/seen checksums are provably identical to the real
+    # validator's. Used for the scaling A/B that separates engine CPU
+    # from byte-movement cost; never for correctness runs.
+    noop_validate: bool = False
     # Wave-key broadcast ceiling (rows). Several joins build a hash side
     # from wave-bounded key sets (≤ wave_size rows of longs): the
     # next-frontier anti-join, the fetch hit/miss split, the

@@ -59,6 +59,12 @@ def main() -> None:
         help="enable cross-epoch lag(phash) change detection",
     )
     ap.add_argument(
+        "--noop-validate", action="store_true",
+        help="pure-Catalyst status instead of the decode UDF (measurement"
+        " A/B: separates engine CPU from byte movement; statuses and"
+        " checksums are identical on the all-well-formed bench worlds)",
+    )
+    ap.add_argument(
         "--time-politeness", action="store_true",
         help="enable crawl-delay politeness (its OWN regime: the schedule"
         " spreads across more epochs, so checksums are not comparable to"
@@ -101,6 +107,7 @@ def main() -> None:
         tls_scan=args.tls,
         change_detection=args.change_detection,
         time_politeness=args.time_politeness,
+        noop_validate=args.noop_validate,
     )
     engine = CrawlEngine(spark, SnapshotStore(store_dir), args.world, cfg)
 

@@ -71,6 +71,8 @@ def run_level(args: argparse.Namespace, cores: int) -> dict:
         "--per-host-quota", str(args.per_host_quota), "--salt", str(args.salt),
         "--warmup", "--out", str(out),
     ]
+    if args.noop_validate:
+        cmd.append("--noop-validate")
     import os
 
     env = dict(os.environ)
@@ -105,6 +107,8 @@ def main() -> None:
                     help="use the plain parquet corpus (broadcast fetch join)")
     ap.add_argument("--tiny", action="store_true",
                     help="32x32-image world (scheduler-bound regime)")
+    ap.add_argument("--noop-validate", action="store_true",
+                    help="measurement A/B: pure-Catalyst status, no decode UDF")
     args = ap.parse_args()
 
     from scripts.gen_world import ensure_world
