@@ -30,9 +30,15 @@ from monocator_spark.session import get_spark  # noqa: E402
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
-# queries whose BroadcastNestedLoopJoin is a deliberate tiny-side broadcast
-# (k centroids / q queries against the corpus — the documented IVF/top-k shape)
-BNLJ_OK = {"embedding_cosine_topk", "ann_ivf_bucketed"}
+# queries whose BroadcastNestedLoopJoin is a deliberate tiny-side broadcast:
+# k centroids / q queries against the corpus (the documented IVF/top-k
+# shape), and the 1-ROW broadcast aggregates that fold a corpus-wide count
+# into the plan instead of a separate full-scan driver action (tfidf's N,
+# sample_stratified's per-language keep rates — VERDICT r02 fix #3)
+BNLJ_OK = {
+    "embedding_cosine_topk", "ann_ivf_bucketed",
+    "tfidf_topk", "sample_stratified",
+}
 
 
 def audit(name: str, plan: str) -> list[str]:
