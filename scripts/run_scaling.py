@@ -10,6 +10,11 @@ IDENTICAL crawl job on the IDENTICAL world at two parallelism levels
     (determinism is part of the gate), and
   * reporting throughput at both + efficiency = Thr_4N / (4 · Thr_N),
     target ≥ 0.8, into BENCH/results_scaling.json + BENCH/BASELINE.md.
+
+Reps at the two levels run interleaved (small, large, small, large, ...);
+the headline efficiency is the MEDIAN over per-rep pairs, because only a
+temporally-adjacent pair sees the same shared-host window (see
+_pair_efficiencies).
 """
 
 from __future__ import annotations
@@ -25,10 +30,13 @@ sys.path.insert(0, str(REPO))
 
 
 def _pick_best(reps: list[dict]) -> dict:
-    """Best of --reps runs: the sandbox host shows 1.5-2x run-to-run noise
-    (shared hypervisor); best-of-N approximates the uncontended machine at
-    each level, which is what the scaling criterion is about. All reps'
-    numbers are kept in the result for transparency."""
+    """Best of --reps runs at ONE level — used only for the per-level detail
+    block (peak throughput, epoch decomposition). The gate's efficiency is
+    NOT computed from two levels' bests: those can come from different host
+    windows, and the shared hypervisor drifts ±20% between windows, so a
+    cross-window ratio measures the neighbors, not the engine (observed:
+    8-core declining monotonically across reps while 2-core peaked on the
+    last rep). All reps' numbers are kept in the result for transparency."""
     best = min(reps, key=lambda r: r["elapsed_sec"])
     assert all(
         r["order_checksum"] == best["order_checksum"]
@@ -38,6 +46,28 @@ def _pick_best(reps: list[dict]) -> dict:
     best["all_reps_elapsed_sec"] = [r["elapsed_sec"] for r in reps]
     best["all_reps_urls_per_sec"] = [r["urls_per_sec"] for r in reps]
     return best
+
+
+def _pair_efficiencies(
+    small_reps: list[dict], large_reps: list[dict], ratio: float
+) -> list[float]:
+    """Per-rep pair efficiency: rep i's small and large runs are temporally
+    adjacent (interleaved small_i, large_i, small_{i+1}, ...), so the ratio
+    within a pair is the controlled A/B the interleaving was built for —
+    both runs see (almost) the same host window. The headline efficiency is
+    the MEDIAN of the pairs: robust to one rep catching a drift edge, and
+    not cherry-picked the way best-of-pairs would be."""
+    return [
+        round(lg["urls_per_sec"] / (ratio * sm["urls_per_sec"]), 3)
+        for sm, lg in zip(small_reps, large_reps)
+    ]
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    mid = n // 2
+    return s[mid] if n % 2 else round((s[mid - 1] + s[mid]) / 2, 3)
 
 
 def run_levels(args: argparse.Namespace) -> tuple[dict, dict]:
@@ -50,7 +80,7 @@ def run_levels(args: argparse.Namespace) -> tuple[dict, dict]:
     for _ in range(args.reps):
         small_reps.append(run_level(args, args.n_small))
         large_reps.append(run_level(args, args.n_large))
-    return _pick_best(small_reps), _pick_best(large_reps)
+    return small_reps, large_reps
 
 
 def run_level(args: argparse.Namespace, cores: int) -> dict:
@@ -80,6 +110,7 @@ def run_level(args: argparse.Namespace, cores: int) -> dict:
     # cost more driver latency than they save on this fixed-partitioning job
     env.setdefault("SPARK_DRIVER_MEM", "48g")
     env.setdefault("MONO_SPARK_CONF", "spark.sql.adaptive.enabled=false")
+    env.setdefault("MONO_EPOCH_TIMING", "1")
     print(f"--- running cores={cores}: {' '.join(cmd)}", flush=True)
     subprocess.run(cmd, check=True, env=env)
     with open(out) as f:
@@ -126,15 +157,17 @@ def main() -> None:
     )
     print(f"world ready: {meta}", flush=True)
 
-    small, large = run_levels(args)
+    small_reps, large_reps = run_levels(args)
+    ratio = args.n_large / args.n_small
+    pair_effs = _pair_efficiencies(small_reps, large_reps, ratio)
+    eff = _median(pair_effs)
+    small, large = _pick_best(small_reps), _pick_best(large_reps)
 
     det_ok = (
         small["order_checksum"] == large["order_checksum"]
         and small["seen_checksum"] == large["seen_checksum"]
         and small["seen_count"] == large["seen_count"]
     )
-    ratio = args.n_large / args.n_small
-    eff = large["urls_per_sec"] / (ratio * small["urls_per_sec"])
     summary = {
         "metric": "urls_scheduled_plus_fetched_per_sec",
         "deterministic_across_levels": det_ok,
@@ -142,7 +175,13 @@ def main() -> None:
         "n_large": args.n_large,
         "thr_small": small["urls_per_sec"],
         "thr_large": large["urls_per_sec"],
-        "scaling_efficiency": round(eff, 3),
+        # headline: median of per-rep (temporally adjacent) pair ratios —
+        # see _pair_efficiencies for why cross-rep bests are not compared
+        "scaling_efficiency": eff,
+        "pair_efficiencies": pair_effs,
+        "efficiency_cross_rep_best": round(
+            large["urls_per_sec"] / (ratio * small["urls_per_sec"]), 3
+        ),
         "target": 0.8,
         "pass": bool(det_ok and eff >= 0.8),
         "small": small,
@@ -154,7 +193,7 @@ def main() -> None:
         json.dump(summary, f, indent=2)
     print(json.dumps({k: summary[k] for k in (
         "deterministic_across_levels", "thr_small", "thr_large",
-        "scaling_efficiency", "pass")}))
+        "scaling_efficiency", "pair_efficiencies", "pass")}))
 
 
 if __name__ == "__main__":
