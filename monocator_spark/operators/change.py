@@ -59,9 +59,13 @@ def with_screenshot(
 ) -> DataFrame:
     """ok(fetched-OK rows) → + (prior_phash, policy, screenshot) columns.
 
-    ``hist`` is the fetched table as of the previous epoch (None on the
-    first epoch or when change detection is disabled — every row then
-    counts as a first fetch, prior_phash null).
+    ``hist`` is the OK-row phash history as of the previous epoch — the
+    narrow ``phash_hist`` state table: (image_id, fetch_epoch, wave_pos,
+    phash), already OK-filtered at write time (None on the first epoch or
+    when change detection is disabled — every row then counts as a first
+    fetch, prior_phash null). It is deliberately NOT the bytes-bearing
+    ``fetched`` table: consuming that as state would drag the payload
+    write onto the inter-epoch critical path.
 
     Tie + identity discipline (matching the simulator's sequential
     ``last_phash`` update by wave position): the lag window is totally

@@ -84,6 +84,34 @@ class CrawlEngine:
         # host_state is O(hosts) — tiny next to the frontier; cached (joined
         # only against enqueue batches, never the whole frontier)
         self.host_state = spark.read.parquet(f"{world_dir}/host_state").cache()
+        self.payload_write_mode = self._resolve_payload_write()
+
+    def _resolve_payload_write(self) -> str:
+        """Resolve cfg.payload_write ("auto" → "cache"/"rejoin") once.
+
+        The auto estimate reads parquet FOOTERS only (no data scan): the
+        corpus's on-disk bytes/row — payload-dominated by construction —
+        times the wave size approximates one wave's cached payload
+        footprint. Driver-side, a handful of file stats, run once per
+        engine lifetime."""
+        mode = self.cfg.payload_write
+        if mode != "auto":
+            return mode
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        d = f"{self.world_dir}/corpus_bucketed" if self.corpus_bucketed else (
+            f"{self.world_dir}/corpus"
+        )
+        files = sorted(glob.glob(f"{d}/*.parquet"))[:8]
+        rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        if not rows:
+            return "cache"
+        size = sum(os.path.getsize(f) for f in files)
+        est = self.cfg.wave_size * (size / rows)
+        return "cache" if est <= self.cfg.payload_cache_max_bytes else "rejoin"
 
     # -- bootstrap -------------------------------------------------------------
     def bootstrap(self):
@@ -341,18 +369,20 @@ class CrawlEngine:
 
         status_obs = Observation(f"status-{epoch}")
         # THE epoch's one critical-path byte pass: corpus scan → validate
-        # UDF → bytes DROPPED. Only this NARROW validate output (`meta`) is
-        # cached; every phase-1 consumer (retry, perm-failed, outlinks,
-        # change detection, metrics) reads it. The bytes-bearing `fetched`
-        # table is written by phase 2 on the flusher via a corpus re-join
-        # (see _payload_rows — no UDF re-run: an OK row's stored bytes ARE
-        # its corpus bytes verbatim, the validator only computes status),
-        # overlapped with epoch k+1's compute. Net: the payload-bound
-        # regime's old cache tier (cache write + cache read of the whole
-        # wave's bytes, 2 extra DRAM passes) is gone AND the disk write
-        # stays off the critical path.
+        # UDF. Every phase-1 consumer (retry, perm-failed, outlinks, change
+        # detection, metrics) reads the cached validate output (`meta`).
+        # What `meta` carries depends on the resolved payload-write mode:
+        #   cache  — bytes ride along in the cache; the flusher writes
+        #            `fetched` straight from it (no corpus re-scan).
+        #   rejoin — bytes are DROPPED here (narrow cache, no wave-sized
+        #            payload tier); the flusher re-attaches them via a
+        #            corpus re-join (see _payload_rows — no UDF re-run: an
+        #            OK row's stored bytes ARE its corpus bytes verbatim).
+        # Both keep the disk write off the critical path, overlapped with
+        # epoch k+1's compute.
+        payload_cols = ["bytes"] if self.payload_write_mode == "cache" else []
         meta = fetched.select(
-            *FRONTIER_COLS_Q, "wave_pos", "image_id",
+            *FRONTIER_COLS_Q, "wave_pos", "image_id", *payload_cols,
             "w", "h", "fmt", "caption", "phash",
             F.lit(epoch).alias("fetch_epoch"), "status",
         ).observe(
@@ -373,15 +403,17 @@ class CrawlEngine:
 
         from monocator_spark.operators import change
 
-        # change-detection history: committed+staged fetched epochs < this
-        # one (this epoch's own rows join in via `meta` below)
+        # change-detection history: committed+staged epochs < this one
+        # (this epoch's own rows join in via `meta` below). The source is
+        # the NARROW ``phash_hist`` state table — OK rows' (image_id,
+        # fetch_epoch, wave_pos, phash) only — never the bytes-bearing
+        # ``fetched`` table, so the multi-GB payload write stays on the
+        # overlapped flusher even when change detection is on.
         hist = (
-            self.store.preview(self.spark, "fetched")
+            self.store.preview(self.spark, "phash_hist")
             if cfg.change_detection
             else None
         )
-        if hist is not None:
-            hist = hist.where(F.col("status") == OK)
         ok = meta.where(F.col("status") == OK)
         shot = change.with_screenshot(ok, hist, epoch, cfg)
         retry = (
@@ -500,14 +532,29 @@ class CrawlEngine:
         }
 
     def _payload_rows(self, meta: DataFrame) -> DataFrame:
-        """The bytes-bearing ``fetched`` rows for one epoch, from the narrow
-        validate output: OK rows re-join the corpus for their payload (an OK
-        row's stored bytes ARE its corpus bytes — the validator only derives
-        status, never rewrites the body), non-OK rows carry NULL bytes
-        (nobody consumes a failed payload). The wave-bounded narrow side
-        broadcasts below cfg.wave_broadcast_max (shuffle join above — and
-        against the bucketed corpus layout only the narrow side ever
-        shuffles); the corpus scan is pruned to (image_id, bytes)."""
+        """The bytes-bearing ``fetched`` rows for one epoch.
+
+        cache mode (meta carries bytes): write straight from the cache; the
+        only work is nulling non-OK payloads (nobody consumes a failed
+        body, and the rejoin mode can't produce one — identical output).
+
+        rejoin mode (meta is narrow): OK rows re-join the corpus for their
+        payload (an OK row's stored bytes ARE its corpus bytes — the
+        validator only derives status, never rewrites the body). The
+        wave-bounded narrow side broadcasts below cfg.wave_broadcast_max
+        (shuffle join above — and against the bucketed corpus layout only
+        the narrow side ever shuffles); the corpus scan is pruned to
+        (image_id, bytes) but is still one extra corpus pass per epoch —
+        the price of never holding a wave's payload as a cache tier."""
+        out_cols = [
+            *FRONTIER_COLS_Q, "wave_pos", "image_id", "bytes",
+            "w", "h", "fmt", "caption", "phash", "fetch_epoch", "status",
+        ]
+        if "bytes" in meta.columns:
+            return meta.withColumn(
+                "bytes",
+                F.when(F.col("status") == OK, F.col("bytes")).cast("binary"),
+            ).select(*out_cols)
         from monocator_spark.operators.hints import wave_side
 
         okm = meta.where(F.col("status") == OK)
@@ -517,10 +564,7 @@ class CrawlEngine:
         rest = meta.where(F.col("status") != OK).withColumn(
             "bytes", F.lit(None).cast("binary")
         )
-        return with_b.unionByName(rest).select(
-            *FRONTIER_COLS_Q, "wave_pos", "image_id", "bytes",
-            "w", "h", "fmt", "caption", "phash", "fetch_epoch", "status",
-        )
+        return with_b.unionByName(rest).select(*out_cols)
 
     def _phase2(self, ctx: dict, state_ready=None) -> dict:
         """Flush epoch k's tables from its caches, commit, release caches.
@@ -529,9 +573,12 @@ class CrawlEngine:
         staged first and ``state_ready`` is signalled so epoch k+1's
         compute can start; the heavy payload flush (the corpus re-join
         writing ``fetched``, see _payload_rows), the narrow flushes and the
-        commit overlap it. Under change detection ``fetched`` is consumed
-        as STATE (epoch k+1 previews it for the lag-based prior_phash), so
-        it too must be staged before ``state_ready`` fires."""
+        commit overlap it. Under change detection the lag-based
+        prior_phash lookup consumes per-epoch history as STATE — that
+        history is the NARROW ``phash_hist`` table (a projection of the
+        cached validate output), staged before ``state_ready`` fires; the
+        bytes-bearing ``fetched`` write itself is pure output and always
+        overlaps the next epoch's compute."""
         cfg = self.cfg
         st = self.store
         epoch = ctx["epoch"]
@@ -545,7 +592,17 @@ class CrawlEngine:
             st.stage_append("fetched", self._payload_rows(ctx["meta"]), epoch + 1)
 
         if cfg.change_detection:
-            flush_fetched()
+            # phash_hist is STATE: epoch k+1's prior_phash lag reads it.
+            # Narrow columns off the cached validate output — staging it
+            # here costs one small job, vs. the corpus re-join payload
+            # write the old design put on the critical path.
+            st.stage_append(
+                "phash_hist",
+                ctx["meta"]
+                .where(F.col("status") == OK)
+                .select("image_id", "fetch_epoch", "wave_pos", "phash"),
+                epoch + 1,
+            )
         st.stage_overwrite("frontier", ctx["next_frontier"], epoch + 1)
         if cfg.follow_outlinks:
             st.stage_append(
@@ -587,9 +644,8 @@ class CrawlEngine:
                 epoch + 1,
             ),
             lambda: st.stage_append("failed", perm_failed, epoch + 1),
+            flush_fetched,
         ]
-        if not cfg.change_detection:
-            flushes.append(flush_fetched)
         if cfg.tls_scan:
             flushes.append(
                 lambda: st.stage_append("tls", ctx["tls_rows"], epoch + 1)

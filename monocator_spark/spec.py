@@ -327,3 +327,25 @@ class CrawlConfig:
     # shuffle joins (plan-only switch; output byte-identical, pinned by
     # tests/test_wave_broadcast_paths.py). 32M longs ≈ 256 MB broadcast.
     wave_broadcast_max: int = 32_000_000
+    # Payload-write strategy for the bytes-bearing ``fetched`` table —
+    # two regimes, identical output (pinned by
+    # tests/test_payload_write_modes.py):
+    #   "cache":  phase 1 caches the wave's payload bytes alongside the
+    #             validate output and the flusher writes from the cache —
+    #             no per-epoch corpus re-scan. Right when a wave's payload
+    #             fits the cluster's storage memory (small-image crawls).
+    #   "rejoin": phase 1 caches only the NARROW validate output (bytes
+    #             take exactly one critical-path pass: corpus scan →
+    #             validate UDF → dropped); the flusher re-attaches
+    #             payloads via a corpus re-join. Right when a wave's
+    #             payload would not fit as a cache tier (the 100 TB
+    #             regime), at the cost of one extra corpus scan per epoch.
+    #   "auto":   "cache" iff wave_size × the corpus's measured bytes/row
+    #             (parquet-footer estimate, no data scan) stays within
+    #             payload_cache_max_bytes.
+    payload_write: str = "auto"
+    # The "auto" cache budget. Size it to the aggregate storage memory the
+    # deployment can spare for one wave's payload (local bench box: a few
+    # GB of the 48 GB heap; a 1000-executor cluster: effectively always
+    # cacheable — each executor holds wave_payload/1000).
+    payload_cache_max_bytes: int = 6 << 30

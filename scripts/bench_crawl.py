@@ -170,6 +170,7 @@ def main() -> None:
         "wave_size": args.wave_size,
         "per_host_quota": args.per_host_quota,
         "salt_per_host": args.salt,
+        "payload_write": engine.payload_write_mode,
         "world": meta,
         "per_epoch": stats.per_epoch,
     }
