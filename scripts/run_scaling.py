@@ -75,11 +75,24 @@ def run_levels(args: argparse.Namespace) -> tuple[dict, dict]:
     so slow drift in the shared host's capacity hits both levels equally
     instead of whichever level's block caught the quiet window — the
     efficiency ratio is what the gate reads, so drift between the two
-    blocks is the one noise source best-of-N can't wash out."""
+    blocks is the one noise source best-of-N can't wash out.
+
+    Within-pair order COUNTERBALANCES across reps (small-first on even
+    reps, large-first on odd): under a monotone capacity ramp the
+    second-run level always sees different capacity than the first, which
+    biases every pair the same direction if the order is fixed (measured:
+    a downward ramp walked 8-core reps 28.5k → 25.5k → 22.9k while
+    2-core barely moved, biasing every small-first pair low). Alternating
+    the order makes the ramp bias cancel in the median."""
     small_reps, large_reps = [], []
-    for _ in range(args.reps):
-        small_reps.append(run_level(args, args.n_small))
-        large_reps.append(run_level(args, args.n_large))
+    for i in range(args.reps):
+        order = (
+            [(small_reps, args.n_small), (large_reps, args.n_large)]
+            if i % 2 == 0
+            else [(large_reps, args.n_large), (small_reps, args.n_small)]
+        )
+        for acc, n in order:
+            acc.append(run_level(args, n))
     return small_reps, large_reps
 
 
