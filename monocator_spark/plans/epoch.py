@@ -400,6 +400,18 @@ class CrawlEngine:
             ).alias("n_failed_perm"),
         ).persist()
         persisted.append(meta)
+        # Pin the cache NOW, with its own action (the status Observation
+        # rides it). Without this barrier the downstream consumers that
+        # shuffle (outlink dedup's groupBy, the seen anti-join) are
+        # scheduled as CONCURRENT map stages inside the epoch's final
+        # action, and each recomputes the not-yet-cached validate chain —
+        # measured as 2-3 corpus-scan+validate passes per epoch (the exact
+        # double-compute race bootstrap() already guards against on cands).
+        # One extra job submission buys exactly-once execution of the
+        # epoch's dominant byte pass.
+        meta.count()
+        n_wave = int(status_obs.get["n_rows"])
+        _mark("fetch_validate")
 
         from monocator_spark.operators import change
 
@@ -500,12 +512,10 @@ class CrawlEngine:
             else bloom
         )
 
-        # ONE action materializes the epoch's whole compute chain (wave
-        # rank + fetch + validate + dedup + gate + next-frontier) into the
-        # caches above; the wave cardinality and status tallies ride it as
-        # Observations — zero extra jobs
+        # Second (and last) materializing action: everything downstream of
+        # the pinned meta cache (outlink dedup + gate + next-frontier) — the
+        # frontier host cardinality rides it as an Observation
         frontier_size = next_frontier.count()
-        n_wave = int(status_obs.get["n_rows"])
         _mark("compute")
         if n_wave == 0:
             for df in persisted:
