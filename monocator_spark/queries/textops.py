@@ -659,6 +659,108 @@ FROM votes GROUP BY doc_id
 """
 
 
+# -- SimHash near-dup pairs / dedup groups (bit-sampling LSH over the 32-bit hash) ------------
+# 4 bands x 8 bits: Hamming <= 3 differing bits can dirty at most 3 of the 4
+# bands, so every true pair shares >= 1 intact band (pigeonhole) — candidate
+# recall is EXACT, and the popcount verify makes precision exact too. The
+# self-join keys on (band_id, band_val): O(docs x 4) rows shuffled once,
+# never the quadratic all-pairs — the same 100 TB shape as the phash ops.
+_SH_BANDS = 4
+_SH_BAND_BITS = 8
+_SH_THRESHOLD = 3  # < _SH_BANDS, the pigeonhole condition
+
+
+def _simhash_bands(spark, sf_dir):
+    sh = q_simhash_docs(spark, sf_dir)
+    return sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.expr(f"sequence(0, {_SH_BANDS - 1})")).alias("band_id"),
+    ).withColumn(
+        "band_val",
+        F.expr(
+            f"shiftright(simhash, cast(band_id * {_SH_BAND_BITS} as int))"
+            f" & cast({(1 << _SH_BAND_BITS) - 1} as bigint)"
+        ),
+    )
+
+
+def q_simhash_hamming_pairs(spark, sf_dir):
+    """Text near-dup pairs at simhash Hamming <= 3: banded-LSH candidates
+    (band-equality join) verified by exact popcount. Output ≡ the naive
+    quadratic oracle; the engine never materializes all-pairs."""
+    bands = _simhash_bands(spark, sf_dir)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(sa ^ sb)").cast("int"))
+        .where(F.col("hamming") <= _SH_THRESHOLD)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+SQL_SIMHASH_PAIRS = f"""
+WITH sh AS (SELECT * FROM ({SQL_SIMHASH}) s),
+bands AS (
+  SELECT doc_id, simhash, band_id,
+         (simhash >> CAST(band_id * {_SH_BAND_BITS} AS INT))
+           & {(1 << _SH_BAND_BITS) - 1} AS band_val
+  FROM sh, (SELECT unnest(range(0, {_SH_BANDS})) AS band_id) b)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SH_THRESHOLD}
+"""
+
+
+def q_simhash_dedup_groups(spark, sf_dir):
+    """SimHash dedup as a pipeline consumes it: every doc mapped to a
+    cluster representative (min doc_id sharing any hash band) — O(docs)
+    output regardless of cluster density; window-min, no self-join
+    recompute (same shape as ``minhash_dedup_groups``)."""
+    from pyspark.sql import Window
+
+    bands = _simhash_bands(spark, sf_dir)
+    wb = Window.partitionBy("band_id", "band_val")
+    return (
+        bands.withColumn("grp_rep", F.min("doc_id").over(wb))
+        .groupBy("doc_id")
+        .agg(F.min("grp_rep").alias("rep_id"))
+        .withColumn("is_dup", F.col("doc_id") > F.col("rep_id"))
+    )
+
+
+SQL_SIMHASH_GROUPS = f"""
+WITH sh AS (SELECT * FROM ({SQL_SIMHASH}) s),
+bands AS (
+  SELECT doc_id, band_id,
+         (simhash >> CAST(band_id * {_SH_BAND_BITS} AS INT))
+           & {(1 << _SH_BAND_BITS) - 1} AS band_val
+  FROM sh, (SELECT unnest(range(0, {_SH_BANDS})) AS band_id) b),
+grp AS (SELECT band_id, band_val, MIN(doc_id) AS grp_rep
+        FROM bands GROUP BY 1, 2)
+SELECT b.doc_id, MIN(g.grp_rep) AS rep_id,
+       (b.doc_id > MIN(g.grp_rep)) AS is_dup
+FROM bands b JOIN grp g ON b.band_id = g.band_id AND b.band_val = g.band_val
+GROUP BY b.doc_id
+"""
+
+
 # -- multimodal plumbing: binary payload stats ------------------------------------------------
 def q_binary_payload_stats(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
@@ -743,6 +845,8 @@ TEXTOPS = {
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_LSH),
     "minhash_dedup_groups": (q_minhash_dedup_groups, SQL_DEDUP_GROUPS),
     "simhash_docs": (q_simhash_docs, SQL_SIMHASH),
+    "simhash_hamming_pairs": (q_simhash_hamming_pairs, SQL_SIMHASH_PAIRS),
+    "simhash_dedup_groups": (q_simhash_dedup_groups, SQL_SIMHASH_GROUPS),
     "binary_payload_stats": (q_binary_payload_stats, SQL_BINSTATS),
     "bloom_build_stats": (q_bloom_build_stats, SQL_BLOOM),
     "multimodal_decode_stub": (q_multimodal_decode_stub, SQL_DECODE_STUB),
