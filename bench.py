@@ -44,6 +44,7 @@ HEADLINE = [
     "shingle_jaccard_pairs",
     "minhash_dedup_groups",
     "simhash_docs",
+    "simhash_dedup_groups",
     "embedding_cosine_topk",
     "ann_ivf_bucketed",
     "bloom_build_stats",

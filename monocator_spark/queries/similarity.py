@@ -3,9 +3,11 @@ first-class training-data op).
 
 Baseline: brute-force cosine top-k with the query side broadcast (the
 100 TB-scale shape: tiny query set × huge corpus, corpus never shuffled).
-Scale path: IVF — deterministic seeded centroids, nearest-centroid
-assignment (broadcast k centroids × corpus, linear), then probe only the
-query's own cell. Composite: MinHash-LSH candidates confirmed by
+Scale paths (the brief names both): IVF — deterministic seeded centroids,
+nearest-centroid assignment (broadcast k centroids × corpus, linear),
+then probe only the query's own cell — and signed-random-projection LSH —
+bucket = sign pattern of NBITS fixed hyperplane projections, probe only
+the query's bucket. Composite: MinHash-LSH candidates confirmed by
 embedding cosine (two-stage semantic dedup).
 
 Cross-engine float parity: both engines fold the dot product sequentially
@@ -148,6 +150,103 @@ WHERE rn = 1
 """
 
 
+# -- LSH-bucketed ANN (signed random projection) ---------------------------------------------
+# The brief's other scale path next to IVF: bucket = the sign pattern of
+# NBITS fixed hyperplane projections. Hyperplane components are ±1, derived
+# once from md5 (the repo's shared cross-engine hash) at plan-build time and
+# embedded as LITERAL arrays in both engines' plans — per-row cost is NBITS
+# fused zip_with/aggregate folds, no hashing in the hot path. Probe touches
+# only the query's bucket: corpus partitioned by bucket, query side
+# broadcast — the same 100 TB shape as the IVF cell probe. Like any LSH
+# index the recall is approximate BY DESIGN; the oracle mirrors the
+# algorithm (same buckets, same probe), so the comparison pins the
+# implementation, not brute-force recall.
+_LSH_NBITS = 6  # 64 buckets
+_LSH_DIM = 64  # testdata embedding dim (a config knob at scale)
+
+
+def _lsh_signs(bit: int) -> list[float]:
+    import hashlib
+
+    return [
+        1.0 if int(hashlib.md5(f"hp|{bit}|{i}".encode()).hexdigest()[:15], 16) % 2 == 0
+        else -1.0
+        for i in range(_LSH_DIM)
+    ]
+
+
+def _lsh_bucket_spark() -> str:
+    bits = []
+    for b in range(_LSH_NBITS):
+        arr = ", ".join(f"cast({s} as double)" for s in _lsh_signs(b))
+        proj = (
+            f"aggregate(zip_with(embedding, array({arr}),"
+            " (x, s) -> cast(x as double) * s),"
+            " cast(0 as double), (acc, v) -> acc + v)"
+        )
+        bits.append(f"if({proj} > 0d, shiftleft(cast(1 as bigint), {b}), cast(0 as bigint))")
+    return " + ".join(bits)
+
+
+def _lsh_bucket_duck() -> str:
+    bits = []
+    for b in range(_LSH_NBITS):
+        arr = ", ".join(str(s) for s in _lsh_signs(b))
+        proj = (
+            "list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),"
+            f" [{arr}])"
+        )
+        bits.append(
+            f"CASE WHEN {proj} > 0 THEN CAST(1 AS BIGINT) << {b} ELSE CAST(0 AS BIGINT) END"
+        )
+    return " + ".join(bits)
+
+
+def q_ann_lsh_bucketed(spark, sf_dir):
+    """ANN via signed-random-projection LSH buckets: assign every vector a
+    ``bucket`` (one linear scan, NBITS constant-array folds per row), then
+    each query's top-1 neighbor comes from ITS bucket only."""
+    e = T(spark, sf_dir, "embeddings")
+    assigned = e.select(
+        "vec_id", "embedding", F.expr(_lsh_bucket_spark()).alias("bucket")
+    )
+    q = assigned.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    pairs = assigned.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
+    )
+    probed = pairs.withColumn("cos_sim", F.expr(_cos_expr("q_emb", "embedding")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        probed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("q_id", F.col("q_bucket").alias("bucket"),
+                F.col("vec_id").alias("nn_id"), "cos_sim")
+    )
+
+
+def _sql_ann_lsh() -> str:
+    return f"""
+WITH assigned AS (
+  SELECT vec_id, embedding, {_lsh_bucket_duck()} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket AS q_bucket
+      FROM assigned WHERE vec_id < 20),
+probed AS (
+  SELECT q.q_id, q.q_bucket, a.vec_id,
+         {_cos_duck('q.q_emb', 'a.embedding')} AS cos_sim
+  FROM assigned a JOIN q ON a.bucket = q.q_bucket AND a.vec_id <> q.q_id)
+SELECT q_id, q_bucket AS bucket, vec_id AS nn_id, cos_sim FROM (
+  SELECT q_id, q_bucket, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn
+  FROM probed) t
+WHERE rn = 1
+"""
+
+
 def q_semantic_dedup(spark, sf_dir):
     """Two-stage semantic dedup — the standard LLM-pipeline composite:
     stage 1 = MinHash-LSH candidate pairs (cheap, lexical, near-linear);
@@ -184,5 +283,6 @@ JOIN embeddings eb ON eb.vec_id = p.doc2
 SIMILARITY = {
     "embedding_cosine_topk": (q_cosine_topk, SQL_TOPK_COS),
     "ann_ivf_bucketed": (q_ann_bucketed, SQL_ANN_BUCKET),
+    "ann_lsh_bucketed": (q_ann_lsh_bucketed, _sql_ann_lsh()),
     "semantic_dedup_twostage": (q_semantic_dedup, _sql_semantic_dedup()),
 }
