@@ -48,6 +48,7 @@ HEADLINE = [
     "embedding_cosine_topk",
     "ann_ivf_bucketed",
     "bloom_build_stats",
+    "cuckoo_build_stats",
     "tls_fanout_map",
     "cert_chain_arrays",
     "dns_fanout_records",

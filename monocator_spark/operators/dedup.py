@@ -183,20 +183,50 @@ def bloom_prefilter(cands: DataFrame, bloom: DataFrame | None, cfg: spec.CrawlCo
     )
 
 
+# -- seen-filter dispatch (north rule: "bloom/cuckoo") ------------------------
+# The engine calls these three; cfg.seen_filter picks the structure. Both
+# share the sharding, the state-table slot, and the no-false-negative
+# pre-filter contract, so the crawl output is identical either way.
+
+
+def build_filter(new_hashes: DataFrame, cfg: spec.CrawlConfig) -> DataFrame:
+    if cfg.seen_filter == "cuckoo":
+        from monocator_spark.operators import cuckoo
+
+        return cuckoo.build_shards(new_hashes, cfg)
+    return build_shards(new_hashes, cfg)
+
+
+def merge_filter(
+    existing: DataFrame | None, delta: DataFrame, cfg: spec.CrawlConfig
+) -> DataFrame:
+    if cfg.seen_filter == "cuckoo":
+        from monocator_spark.operators import cuckoo
+
+        return cuckoo.merge_shards(existing, delta, cfg)
+    return merge_shards(existing, delta, cfg)
+
+
 def filter_new(
     cands: DataFrame,
     seen: DataFrame | None,
     bloom: DataFrame | None,
     cfg: spec.CrawlConfig,
 ) -> DataFrame:
-    """Exact-semantics dedup with the Bloom fast path.
+    """Exact-semantics dedup with the approximate-filter fast path.
 
     definitely-new rows bypass the seen-table join; maybe-seen rows are
     anti-joined against `seen` (exact). Result = truly-new candidates.
+    ``bloom`` is the state of whichever structure cfg.seen_filter selects.
     """
     if seen is None:
         return cands
-    tagged = bloom_prefilter(cands, bloom, cfg)
+    if cfg.seen_filter == "cuckoo":
+        from monocator_spark.operators import cuckoo
+
+        tagged = cuckoo.prefilter(cands, bloom, cfg)
+    else:
+        tagged = bloom_prefilter(cands, bloom, cfg)
     fresh = tagged.where(~F.col("maybe_seen")).drop("maybe_seen")
     suspect = tagged.where(F.col("maybe_seen")).drop("maybe_seen")
     confirmed = suspect.join(seen.select("url_hash"), "url_hash", "left_anti")

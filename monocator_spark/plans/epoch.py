@@ -156,8 +156,8 @@ class CrawlEngine:
         _bmark("cands_materialized")
         admitted, denied = politeness.gate(cands, self.host_state, self.cfg)
         seen = cands.select("url_hash", "url_norm")
-        bloom = dedup.merge_shards(
-            None, dedup.build_shards(cands.select("url_hash"), self.cfg), self.cfg
+        bloom = dedup.merge_filter(
+            None, dedup.build_filter(cands.select("url_hash"), self.cfg), self.cfg
         ).cache()  # small (n_shards rows); read by epoch 0 AND the tail write
         frontier0 = admitted.select(*FRONTIER_COLS_Q)
 
@@ -254,6 +254,7 @@ class CrawlEngine:
         persisted: list = []  # this epoch's caches; released by its _phase2
         if state_ready is not None:
             state_ready.wait()  # previous epoch's state tables staged
+            _mark("state_wait")  # pipelining stall, NOT wave-selection work
         boot = getattr(self, "_boot_state", None)
         if boot is not None:
             # epoch 0 right after bootstrap: state comes from the in-memory
@@ -505,8 +506,8 @@ class CrawlEngine:
         persisted.append(next_frontier)
 
         bloom_next = (
-            dedup.merge_shards(
-                bloom, dedup.build_shards(new_entries.select("url_hash"), cfg), cfg
+            dedup.merge_filter(
+                bloom, dedup.build_filter(new_entries.select("url_hash"), cfg), cfg
             )
             if cfg.follow_outlinks
             else bloom

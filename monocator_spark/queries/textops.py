@@ -798,6 +798,30 @@ FROM documents GROUP BY 1
 """
 
 
+def q_cuckoo_build_stats(spark, sf_dir):
+    """The cuckoo twin of ``bloom_build_stats`` (north rule: "bloom/cuckoo
+    URL-seen"): drives ``operators/cuckoo.build_shards`` — sorted
+    deterministic insertion, per-shard overflow flag — over the documents
+    hashes. The oracle pins per-shard cardinality plus overflowed=false
+    (the sizing invariant; an overflow here would mean the sizing rule
+    broke)."""
+    from monocator_spark import spec
+    from monocator_spark.operators.cuckoo import build_shards as ck_build
+
+    cfg = spec.CrawlConfig(n_images=1, n_hosts=1)
+    d = T(spark, sf_dir, "documents")
+    hashes = d.select(F.expr(_md5long("text")).alias("url_hash"))
+    return ck_build(hashes, cfg).select("shard", "n_inserted", "overflowed")
+
+
+SQL_CUCKOO = f"""
+SELECT CAST(({_md5long_duck('text')} & 31) AS INT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_inserted,
+       FALSE AS overflowed
+FROM documents GROUP BY 1
+"""
+
+
 # -- multimodal decode stub via mapInPandas (real plumbing, stubbed codec) --------------------
 def q_multimodal_decode_stub(spark, sf_dir):
     """Image/audio decode stub: payload is an opaque binary column; the
@@ -849,5 +873,6 @@ TEXTOPS = {
     "simhash_dedup_groups": (q_simhash_dedup_groups, SQL_SIMHASH_GROUPS),
     "binary_payload_stats": (q_binary_payload_stats, SQL_BINSTATS),
     "bloom_build_stats": (q_bloom_build_stats, SQL_BLOOM),
+    "cuckoo_build_stats": (q_cuckoo_build_stats, SQL_CUCKOO),
     "multimodal_decode_stub": (q_multimodal_decode_stub, SQL_DECODE_STUB),
 }

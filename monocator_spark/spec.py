@@ -47,6 +47,28 @@ def bloom_bits_for(n_expected: int, shards: int = BLOOM_SHARDS) -> int:
     need = max(BLOOM_BITS_PER_SHARD, (16 * max(1, n_expected)) // shards)
     return 1 << math.ceil(math.log2(need))
 
+
+# Cuckoo twin of the URL-seen pre-filter (north rule: "bloom/cuckoo") —
+# 8192 buckets × 4 slots × 2 B = 64 KiB/shard locally; sized up at scale.
+CUCKOO_BUCKETS_PER_SHARD = 1 << 13
+
+
+def cuckoo_buckets_for(n_expected: int, shards: int = BLOOM_SHARDS) -> int:
+    """Buckets/shard sized for ~n_expected TOTAL insertions across shards.
+
+    4-slot buckets sustain ~95% fill; sizing to ≤80% load keeps the
+    eviction chains short and overflow (which only degrades a shard to the
+    exact-confirm join, never corrupts output — operators/cuckoo.py)
+    unreachable in practice. Rounded up to a power of two (the alternate
+    bucket is an XOR), floor at the local default."""
+    import math
+
+    need = max(
+        CUCKOO_BUCKETS_PER_SHARD,
+        math.ceil(max(1, n_expected) / (shards * 4 * 0.8)),
+    )
+    return 1 << math.ceil(math.log2(need))
+
 # ---- time-based politeness --------------------------------------------------
 # Logical epoch tick: epoch_ts = epoch * EPOCH_MS. A host scheduled in epoch
 # e becomes eligible again at the first f with f*EPOCH_MS >= e*EPOCH_MS +
@@ -287,6 +309,16 @@ class CrawlConfig:
     bloom_shards: int = BLOOM_SHARDS
     bloom_bits_per_shard: int = BLOOM_BITS_PER_SHARD
     bloom_num_hashes: int = BLOOM_NUM_HASHES
+    # URL-seen pre-filter structure (north rule: "bloom/cuckoo URL-seen").
+    # Both share the sharding (url_hash & (bloom_shards-1)), the state-table
+    # slot, and the exact-confirm contract, so the crawl output is
+    # byte-identical either way (tests/test_cuckoo.py). Bloom = fewer bits
+    # per element at the 0.1% FP target and a trivial OR-merge; cuckoo =
+    # deletion support (TTL eviction) and two-cache-line probes
+    # (operators/cuckoo.py). Pick per deployment; resume must reuse the
+    # run's choice (the state bytes are structure-specific).
+    seen_filter: str = "bloom"
+    cuckoo_buckets_per_shard: int = CUCKOO_BUCKETS_PER_SHARD
     salt_per_host: int = SALT_PER_HOST
     follow_outlinks: bool = True
     # scan module (O8/O12/O13): per-module enable flag, mirroring the
