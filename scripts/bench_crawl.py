@@ -35,6 +35,16 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--world", required=True)
     ap.add_argument("--cores", type=int, default=32)
+    ap.add_argument(
+        "--shuffle-partitions", type=int, default=None,
+        help="shuffle partitions (default: cores — 1 task/core; a real"
+        " cluster wants 2-4x total cores so stragglers don't idle slots)",
+    )
+    ap.add_argument(
+        "--wave-broadcast-max", type=int, default=None,
+        help="override cfg.wave_broadcast_max (0 forces the shuffle"
+        " anti-join path for the wave-bounded joins — measurement A/B)",
+    )
     ap.add_argument("--wave-size", type=int, default=150_000)
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--per-host-quota", type=int, default=8)
@@ -90,7 +100,11 @@ def main() -> None:
         from monocator_spark.session import get_spark
 
         cores = args.cores
-        spark = get_spark("bench-crawl", cores=cores, shuffle_partitions=cores)
+        spark = get_spark(
+            "bench-crawl",
+            cores=cores,
+            shuffle_partitions=args.shuffle_partitions or cores,
+        )
     spark.sparkContext.setLogLevel("ERROR")
 
     store_dir = args.store or f"/tmp/mono_bench_store_c{cores}"
@@ -109,6 +123,10 @@ def main() -> None:
         time_politeness=args.time_politeness,
         noop_validate=args.noop_validate,
     )
+    if args.wave_broadcast_max is not None:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, wave_broadcast_max=args.wave_broadcast_max)
     engine = CrawlEngine(spark, SnapshotStore(store_dir), args.world, cfg)
 
     if args.warmup:
