@@ -207,6 +207,53 @@ def merge_filter(
     return merge_shards(existing, delta, cfg)
 
 
+def evict_filter(
+    filt: DataFrame | None,
+    gone: DataFrame,
+    remaining: DataFrame,
+    cfg: spec.CrawlConfig,
+) -> DataFrame | None:
+    """Drop ``gone(url_hash)`` keys from the pre-filter state (TTL / refresh
+    eviction — the engine's ``evict_seen``).
+
+    The two structures diverge exactly here: the cuckoo twin supports TRUE
+    deletion (one fingerprint removed per insertion,
+    ``cuckoo.delete_hashes``), while Bloom bits cannot be unset, so Bloom
+    mode REBUILDS the affected shards from ``remaining`` — the post-evict
+    exact seen rows — and keeps the untouched shards' bytes verbatim. The
+    shard fan-out keeps the rebuild O(seen-in-affected-shards), not
+    O(seen): evicting a handful of URLs re-hashes only their shards.
+
+    Either way the no-false-negative contract is preserved: every key
+    still in ``remaining`` is still maybe-seen afterwards. (Cuckoo may keep
+    a residual false positive for an evicted key — a colliding fingerprint
+    — which only costs that key the exact-confirm join, where it is now
+    absent, so it correctly re-enters as new.)
+    """
+    if filt is None:
+        return None
+    if cfg.seen_filter == "cuckoo":
+        from monocator_spark.operators import cuckoo
+
+        return cuckoo.delete_hashes(filt, gone.select("url_hash"), cfg)
+    affected = [
+        r["shard"]
+        for r in gone.select(shard_col("url_hash", cfg).alias("shard"))
+        .distinct()
+        .collect()  # O(shards) — bookkeeping, bounded by cfg.bloom_shards
+    ]
+    if not affected:
+        return filt
+    kept = filt.where(~F.col("shard").isin(affected))
+    rebuilt = build_shards(
+        remaining.where(shard_col("url_hash", cfg).isin(affected)).select(
+            "url_hash"
+        ),
+        cfg,
+    )
+    return kept.unionByName(rebuilt)
+
+
 def filter_new(
     cands: DataFrame,
     seen: DataFrame | None,

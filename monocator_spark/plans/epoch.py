@@ -747,6 +747,58 @@ class CrawlEngine:
         self.store.stage_overwrite("frontier", nxt, ep)
         self.store.commit(ep, meta)  # crawl_epoch unchanged: run() resumes
 
+    # -- TTL / refresh eviction (the dual of reenqueue) ----------------------------
+    def evict_seen(self, urls: list[str]) -> int:
+        """FORGET already-crawled URLs from the URL-seen state so the regular
+        discovery path re-admits them (a long-lived crawler's TTL/refresh
+        semantics). ``reenqueue`` refetches NOW without forgetting; this
+        forgets so a future outlink discovery (or reenqueue) re-fetches
+        organically.
+
+        The exact ``seen`` table drops the rows; the approximate pre-filter
+        follows its structure via ``dedup.evict_filter`` — true fingerprint
+        deletion in cuckoo mode, affected-shard rebuild in Bloom mode. Only
+        URLs actually in ``seen`` are evicted (a never-seen URL is a no-op,
+        and the cuckoo deletion contract — delete only what was inserted —
+        is enforced by the semi-join, not the caller). Returns the number
+        of URLs evicted. Committed as a manifest epoch with ``crawl_epoch``
+        unchanged, so a kill between evict and the next run() resumes
+        exactly like reenqueue does.
+        """
+        from monocator_spark.operators import enqueue as enq
+
+        raw = self.spark.createDataFrame(
+            [(u,) for u in urls], "url string"
+        ).withColumn("depth", F.lit(0))
+        keys = (
+            enq.dedup_within_batch(enq.prepare_candidates(raw))
+            .select("url_hash")
+            .cache()
+        )
+        seen = self.store.load(self.spark, "seen")
+        if seen is None:
+            keys.unpersist()
+            return 0
+        gone = keys.join(seen.select("url_hash"), "url_hash", "left_semi").cache()
+        n_gone = gone.count()
+        if n_gone == 0:
+            keys.unpersist()
+            gone.unpersist()
+            return 0
+        remaining = seen.join(gone, "url_hash", "left_anti")
+        filt = dedup.evict_filter(
+            self.store.load(self.spark, "bloom"), gone, remaining, self.cfg
+        )
+        ep = (self.store.last_epoch() or 0) + 1
+        meta = self.store.meta() or {"crawl_epoch": -1}
+        self.store.stage_overwrite("seen", remaining, ep)
+        if filt is not None:
+            self.store.stage_overwrite("bloom", filt, ep)
+        self.store.commit(ep, meta)
+        keys.unpersist()
+        gone.unpersist()
+        return int(n_gone)
+
     # -- loop / resume -----------------------------------------------------------
     def run(self, max_epochs: int = 1000) -> RunStats:
         """Run (or resume — the last committed manifest is the checkpoint).

@@ -33,6 +33,18 @@ def main() -> None:
     ap.add_argument("--wave-size", type=int, default=None)
     ap.add_argument("--per-host-quota", type=int, default=None)
     ap.add_argument("--cores", type=int, default=None, help="local mode only")
+    ap.add_argument(
+        "--reenqueue", default=None, metavar="FILE",
+        help="ops hook: file of URLs (one per line) to force-refetch before"
+        " running — seen set untouched (O14 forced recrawl)",
+    )
+    ap.add_argument(
+        "--evict-seen", default=None, metavar="FILE",
+        help="ops hook: file of URLs (one per line) to FORGET from the"
+        " URL-seen state before running — TTL/refresh eviction; discovery"
+        " re-admits them (cuckoo: fingerprint deletion; bloom:"
+        " affected-shard rebuild)",
+    )
     args = ap.parse_args()
 
     from monocator_spark import spec
@@ -60,6 +72,18 @@ def main() -> None:
         n_images=meta["n_images"], n_hosts=meta["n_hosts"], **overrides
     )
     engine = CrawlEngine(spark, SnapshotStore(args.store), args.world, cfg)
+    for path, op in ((args.evict_seen, "evict"), (args.reenqueue, "reenqueue")):
+        if not path:
+            continue
+        with open(path) as f:
+            urls = [ln.strip() for ln in f if ln.strip()]
+        if not urls:
+            continue
+        if op == "evict":
+            print(json.dumps({"evicted": engine.evict_seen(urls)}))
+        else:
+            engine.reenqueue(urls)
+            print(json.dumps({"reenqueued": len(urls)}))
     stats = engine.run(max_epochs=args.max_epochs)
     print(
         json.dumps(
