@@ -20,10 +20,14 @@ load.
 Two properties the Bloom twin gets for free need explicit care here:
 
 * **Determinism** — a cuckoo table's layout depends on insertion order, so
-  ``build_shards`` sorts each shard's hashes first and the eviction victim
-  is a pure function of the kick count: the persisted filter bytes are a
-  function of the key SET, byte-identical at every parallelism level (the
-  same guarantee the Bloom OR gives structurally).
+  insertion is the order-free ``_insert_bulk``: two vectorized scatter
+  phases whose placement depends only on the (bucket, fp) multiset
+  (stable lexsorts), plus a sequential eviction loop — victim a pure
+  function of the kick count — for the few-percent residue. The persisted
+  filter bytes are a function of the key SET, byte-identical at every
+  parallelism level (the same guarantee the Bloom OR gives structurally),
+  and the per-shard build is numpy-vectorized rather than a 10^5-iteration
+  Python loop.
 * **No false negatives under overflow** — a full table would drop a
   fingerprint, and a dropped key would skip the exact confirm and corrupt
   the crawl. Overflow therefore sets a per-shard ``overflowed`` flag that
@@ -93,23 +97,40 @@ def _alt_bucket(bucket: np.ndarray, fp: np.ndarray, n_buckets: int) -> np.ndarra
     )
 
 
+def _alt_one(bucket: int, fp: int, n_buckets: int) -> int:
+    """Scalar twin of _alt_bucket (fp < 2^16 so fp*K < 2^48: no 64-bit
+    wrap to emulate). Kept in lockstep with the vectorized version —
+    tests/test_cuckoo.py pins the involution on both."""
+    hf = fp * 0x5BD1E995
+    hf ^= hf >> 7
+    return bucket ^ (hf & (n_buckets - 1))
+
+
 def _insert_pairs(
     tbl: np.ndarray, buckets: np.ndarray, fps: np.ndarray
 ) -> bool:
     """Insert (bucket, fp) pairs into tbl[(B, 4)] in the given order.
-    Returns True iff any insertion overflowed (its fp was dropped)."""
+    Returns True iff any insertion overflowed (its fp was dropped).
+
+    Scalar Python by design: this is the EVICTION path, inherently
+    sequential (each kick depends on the previous victim); the bulk of any
+    build goes through the vectorized ``_insert_bulk`` phases and only a
+    few percent of keys land here."""
     n_buckets = tbl.shape[0]
+    view = tbl.tolist()  # list-of-lists: ~10x faster scalar access
     overflow = False
     for j in range(len(fps)):
-        fp = np.uint16(fps[j])
+        fp = int(fps[j])
         b = int(buckets[j])
         placed = False
-        for cand in (b, int(_alt_bucket(np.array([b]), np.array([fp]), n_buckets)[0])):
-            row = tbl[cand]
-            free = np.nonzero(row == 0)[0]
-            if free.size:
-                row[free[0]] = fp
-                placed = True
+        for cand in (b, _alt_one(b, fp, n_buckets)):
+            row = view[cand]
+            for s in range(SLOTS_PER_BUCKET):
+                if row[s] == 0:
+                    row[s] = fp
+                    placed = True
+                    break
+            if placed:
                 break
         if placed:
             continue
@@ -118,23 +139,75 @@ def _insert_pairs(
         cur_b, cur_fp = b, fp
         for kick in range(MAX_KICKS):
             slot = kick % SLOTS_PER_BUCKET
-            victim = tbl[cur_b, slot]
-            tbl[cur_b, slot] = cur_fp
+            row = view[cur_b]
+            victim = row[slot]
+            row[slot] = cur_fp
             cur_fp = victim
-            cur_b = int(
-                _alt_bucket(
-                    np.array([cur_b]), np.array([np.uint16(cur_fp)]), n_buckets
-                )[0]
-            )
-            row = tbl[cur_b]
-            free = np.nonzero(row == 0)[0]
-            if free.size:
-                row[free[0]] = cur_fp
-                placed = True
+            cur_b = _alt_one(cur_b, cur_fp, n_buckets)
+            row = view[cur_b]
+            for s in range(SLOTS_PER_BUCKET):
+                if row[s] == 0:
+                    row[s] = cur_fp
+                    placed = True
+                    break
+            if placed:
                 break
         if not placed:
             overflow = True  # cur_fp dropped — the shard flag covers it
+    tbl[:] = np.asarray(view, dtype=np.uint16)
     return overflow
+
+
+def _insert_bulk(tbl: np.ndarray, buckets: np.ndarray, fps: np.ndarray) -> bool:
+    """Bulk insertion into a FRESH table: two vectorized scatter phases,
+    then the sequential eviction loop for the residue only.
+
+    A per-key Python loop over a 10^5-key shard is the slow path this
+    module otherwise avoids; at ≤80% load a Poisson argument puts ~90% of
+    keys in their primary bucket's first four slots and most of the rest
+    in the alternate, so phases A and B are single numpy scatters and the
+    kick loop sees only a few percent. Placement depends only on the
+    (bucket, fp) MULTISET — stable lexsorts, never input order — so the
+    table bytes stay a pure function of the key set (the determinism
+    contract ``merge_shards`` and resume rely on). Returns the overflow
+    flag. Caller contract: ``tbl`` is all-zeros (build/rebuild paths —
+    both callers construct fresh tables; holes from deletion never reach
+    this function)."""
+    if len(fps) == 0:
+        return False
+    n_buckets = tbl.shape[0]
+
+    def _ranks(b: np.ndarray) -> np.ndarray:
+        # rank of each element within its (already sorted) bucket group
+        first = np.r_[True, b[1:] != b[:-1]]
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.r_[starts, len(b)])
+        return np.arange(len(b)) - np.repeat(starts, lens)
+
+    # phase A: primary buckets
+    order = np.lexsort((fps, buckets))
+    b, f = buckets[order], fps[order]
+    rank = _ranks(b)
+    hit = rank < SLOTS_PER_BUCKET
+    tbl[b[hit], rank[hit]] = f[hit]
+    if hit.all():
+        return False
+    # phase B: alternates, filling above phase A's (contiguous) occupancy
+    used = (tbl != 0).sum(axis=1)
+    lb, lf = b[~hit], f[~hit]
+    ab = _alt_bucket(lb, lf, n_buckets)
+    order2 = np.lexsort((lf, ab))
+    b2, f2, ob = ab[order2], lf[order2], lb[order2]
+    rank2 = _ranks(b2)
+    slot2 = used[b2] + rank2
+    hit2 = slot2 < SLOTS_PER_BUCKET
+    tbl[b2[hit2], slot2[hit2]] = f2[hit2]
+    if hit2.all():
+        return False
+    # phase C: eviction loop for the residue (primary bucket as the entry
+    # point, exactly like single insertion) — deterministic order by
+    # construction of the lexsorts above
+    return _insert_pairs(tbl, ob[~hit2], f2[~hit2])
 
 
 def build_shards(new_hashes: DataFrame, cfg: spec.CrawlConfig) -> DataFrame:
@@ -142,11 +215,10 @@ def build_shards(new_hashes: DataFrame, cfg: spec.CrawlConfig) -> DataFrame:
     n_buckets = cfg.cuckoo_buckets_per_shard
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        h = np.sort(pdf["url_hash"].to_numpy(dtype=np.int64))  # determinism
+        h = pdf["url_hash"].to_numpy(dtype=np.int64)
         tbl = np.zeros((n_buckets, SLOTS_PER_BUCKET), dtype=np.uint16)
-        fps = _fingerprints(h)
-        b1 = _bucket1(h, n_buckets)
-        overflow = _insert_pairs(tbl, b1, fps)
+        # _insert_bulk is order-free (internal lexsorts), no pre-sort needed
+        overflow = _insert_bulk(tbl, _bucket1(h, n_buckets), _fingerprints(h))
         return pd.DataFrame(
             {
                 "shard": [int(pdf["shard"].iloc[0])],
@@ -193,9 +265,8 @@ def merge_shards(
             fps.append(fp)
         bk = np.concatenate(bks) if bks else np.empty(0, dtype=np.int64)
         fp = np.concatenate(fps) if fps else np.empty(0, dtype=np.uint16)
-        order = np.lexsort((fp, bk))
         tbl = np.zeros((n_buckets, SLOTS_PER_BUCKET), dtype=np.uint16)
-        overflow |= _insert_pairs(tbl, bk[order], fp[order])
+        overflow |= _insert_bulk(tbl, bk, fp)
         return pd.DataFrame(
             {
                 "shard": [int(pdf["shard"].iloc[0])],

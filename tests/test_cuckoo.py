@@ -28,11 +28,11 @@ CFG = spec.CrawlConfig(n_images=100, n_hosts=8, cuckoo_buckets_per_shard=1 << 10
 
 
 def _build_bits(hashes: np.ndarray, cfg=CFG) -> tuple[bytes, bool]:
-    h = np.sort(hashes.astype(np.int64))
+    h = hashes.astype(np.int64)
     tbl = np.zeros(
         (cfg.cuckoo_buckets_per_shard, cuckoo.SLOTS_PER_BUCKET), dtype=np.uint16
     )
-    overflow = cuckoo._insert_pairs(
+    overflow = cuckoo._insert_bulk(
         tbl, cuckoo._bucket1(h, cfg.cuckoo_buckets_per_shard), cuckoo._fingerprints(h)
     )
     return tbl.tobytes(), overflow
@@ -44,6 +44,15 @@ def test_alt_bucket_is_involution():
     b = rng.randint(0, 1 << 10, size=1000).astype(np.int64)
     b2 = cuckoo._alt_bucket(b, fp, 1 << 10)
     assert (cuckoo._alt_bucket(b2, fp, 1 << 10) == b).all()
+
+
+def test_alt_one_matches_vectorized():
+    rng = np.random.RandomState(9)
+    fp = cuckoo._fingerprints(rng.randint(-(2**62), 2**62, size=500, dtype=np.int64))
+    b = rng.randint(0, 1 << 13, size=500).astype(np.int64)
+    vec = cuckoo._alt_bucket(b, fp, 1 << 13)
+    for i in range(500):
+        assert cuckoo._alt_one(int(b[i]), int(fp[i]), 1 << 13) == int(vec[i])
 
 
 def test_no_false_negatives_and_bounded_fp():
@@ -65,6 +74,30 @@ def test_content_determinism_across_input_order():
     a, _ = _build_bits(members)
     b, _ = _build_bits(members[rng.permutation(len(members))])
     assert a == b  # build sorts: bytes are a function of the key SET
+
+
+def test_bulk_insert_matches_sequential_membership():
+    """_insert_bulk (two vectorized scatters + eviction residue) stores the
+    same MULTISET of fingerprints as key-at-a-time insertion — byte layout
+    may differ (slot order), membership may not."""
+    rng = np.random.RandomState(11)
+    members = rng.randint(-(2**62), 2**62, size=3000, dtype=np.int64)
+    n_b = CFG.cuckoo_buckets_per_shard
+    h = np.sort(members)
+    b1, fp = cuckoo._bucket1(h, n_b), cuckoo._fingerprints(h)
+    seq = np.zeros((n_b, cuckoo.SLOTS_PER_BUCKET), dtype=np.uint16)
+    assert not cuckoo._insert_pairs(seq, b1, fp)
+    blk = np.zeros((n_b, cuckoo.SLOTS_PER_BUCKET), dtype=np.uint16)
+    assert not cuckoo._insert_bulk(blk, b1, fp)
+
+    def content(t):
+        bk, f = cuckoo._occupied(t)
+        return sorted(zip(bk.tolist(), f.tolist()))
+
+    # every key findable in both; the stored (bucket, fp) multisets may
+    # differ only by which legal bucket of the pair holds an evicted fp
+    assert cuckoo.probe_hashes(members, blk.tobytes(), False, CFG).all()
+    assert len(content(seq)) == len(content(blk)) == len(h)
 
 
 def test_overflow_degrades_to_all_maybe():
