@@ -41,6 +41,12 @@ def main() -> None:
         " cluster wants 2-4x total cores so stragglers don't idle slots)",
     )
     ap.add_argument(
+        "--seen-filter", choices=["bloom", "cuckoo"], default="bloom",
+        help="URL-seen pre-filter structure (north rule: bloom/cuckoo);"
+        " either way the crawl output is byte-identical — the checksums"
+        " prove it at world scale",
+    )
+    ap.add_argument(
         "--wave-broadcast-max", type=int, default=None,
         help="override cfg.wave_broadcast_max (0 forces the shuffle"
         " anti-join path for the wave-bounded joins — measurement A/B)",
@@ -118,6 +124,8 @@ def main() -> None:
         salt_per_host=args.salt,
         # the URL universe is one URL per image: size the Bloom for it
         bloom_bits_per_shard=spec.bloom_bits_for(meta["n_images"]),
+        seen_filter=args.seen_filter,
+        cuckoo_buckets_per_shard=spec.cuckoo_buckets_for(meta["n_images"]),
         tls_scan=args.tls,
         change_detection=args.change_detection,
         time_politeness=args.time_politeness,
@@ -189,6 +197,7 @@ def main() -> None:
         "per_host_quota": args.per_host_quota,
         "salt_per_host": args.salt,
         "payload_write": engine.payload_write_mode,
+        "seen_filter": args.seen_filter,
         "world": meta,
         "per_epoch": stats.per_epoch,
     }
