@@ -713,7 +713,11 @@ class CrawlEngine:
             ),
             epoch + 1,
         )
-        st.commit(epoch + 1, {"crawl_epoch": epoch})
+        # manifest id = store sequence, NOT crawl_epoch + 1: other writers
+        # (StreamingEnqueue between runs, reenqueue, evict_seen) may have
+        # consumed manifest numbers; crawl_epoch in meta is what resume reads
+        last = st.last_epoch()
+        st.commit((-1 if last is None else last) + 1, {"crawl_epoch": epoch})
         if ctx["debug"]:
             ctx["timing"]["flush_commit"] = round(time.monotonic() - t_flush, 2)
             m["timing"] = ctx["timing"]
@@ -840,8 +844,10 @@ class CrawlEngine:
                 if ctx.get("idle"):
                     # nothing staged; commit just advances crawl_epoch so a
                     # kill during an idle streak still resumes exactly
+                    last = self.store.last_epoch()
                     self.store.commit(
-                        ctx["epoch"] + 1, {"crawl_epoch": ctx["epoch"]}
+                        (-1 if last is None else last) + 1,
+                        {"crawl_epoch": ctx["epoch"]},
                     )
                     return {"idle": True}
                 return self._phase2(ctx, ev)

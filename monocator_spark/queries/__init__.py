@@ -10,10 +10,11 @@ name.
 from monocator_spark.queries.imaging import IMAGING
 from monocator_spark.queries.relational import RELATIONAL
 from monocator_spark.queries.similarity import SIMILARITY
+from monocator_spark.queries.streamingops import STREAMING
 from monocator_spark.queries.textops import TEXTOPS
 
 REGISTRY: dict[str, tuple] = {}
-for part in (RELATIONAL, TEXTOPS, SIMILARITY, IMAGING):
+for part in (RELATIONAL, TEXTOPS, SIMILARITY, IMAGING, STREAMING):
     REGISTRY.update(part)
 
 

@@ -1,0 +1,18 @@
+"""Structured Streaming surface of the crawl engine.
+
+Two jobs live here:
+
+* ``enqueue_stream.StreamingEnqueue`` — the continuous-discovery twin of the
+  batch enqueue path (O1-O4): a file-source ``readStream`` over a seed-feed
+  directory, run through the SAME canonicalize / hash / dedup / politeness
+  operators inside ``foreachBatch``, appending to the SAME SnapshotStore
+  state tables the epoch pipeline reads, with idempotent (exactly-once)
+  commits across micro-batch replays.
+* ``windows.tumbling_event_counts`` — the O17 metrics rollup as a
+  watermarked streaming aggregation, runnable in bounded mode
+  (``Trigger.AvailableNow`` + memory sink) so the driver's DuckDB oracle can
+  hash-compare its output against the batch equivalent.
+"""
+
+from monocator_spark.streaming.enqueue_stream import StreamingEnqueue  # noqa: F401
+from monocator_spark.streaming.windows import tumbling_event_counts  # noqa: F401
