@@ -64,6 +64,7 @@ HEADLINE = [
     "vat_scrape_decision",
     "image_resize_thumb",
     "frame_sample_stub",
+    "audio_window_energy",
     "tumbling_window_stream",
 ]
 

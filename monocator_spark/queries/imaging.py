@@ -314,9 +314,131 @@ FROM samp
 """
 
 
+# -- audio windowed energy (stub codec, real frame math) -----------------------
+# The audio leg of the multimodal brief (image ✓ resize/phash, video ✓
+# frame sampling, audio → this). No audio libs in this container, so the
+# "decode" is the brief-sanctioned deterministic stand-in: the document's
+# UTF-8 bytes are the PCM stream (u8 samples, ASCII-only testdata so every
+# byte is also SQL-addressable), with typed metadata columns sample_rate =
+# 8000·(1 + doc_id%3) and channels = 1 + doc_id%2. Everything downstream of
+# the stub is the real feature-extraction shape: interleaved frames (the
+# trailing partial frame dropped), 256-frame analysis windows, per-window
+# energy = sum of sample bytes (implicit channel mixdown), duration from
+# the rate. Vectorized per Arrow batch with np.add.reduceat — no per-sample
+# Python. The DuckDB oracle recomputes the per-window energies from the
+# same bytes (unnest a window range → substr → codepoint sum), so this one
+# pins VALUES, not just arithmetic, end to end.
+_AWIN = 64  # analysis window, in sample frames (testdata docs are ~50-560 bytes; 64 keeps 1-9 windows per doc so the window math is actually exercised)
+
+
+def q_audio_window_energy(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        (8000 * (1 + F.col("doc_id") % 3)).cast("long").alias("sample_rate"),
+        (1 + F.col("doc_id") % 2).cast("long").alias("channels"),
+    )
+
+    def energy_batches(it):
+        for pdf in it:
+            out_rows = []
+            for doc, payload, rate, ch in zip(
+                pdf["doc_id"], pdf["payload"], pdf["sample_rate"], pdf["channels"]
+            ):
+                ch = int(ch)
+                a = np.frombuffer(payload, dtype=np.uint8)
+                n_samples = len(a) // ch
+                used = a[: n_samples * ch].astype(np.int64)
+                n_windows = -(-n_samples // _AWIN) if n_samples else 0
+                if n_windows:
+                    starts = np.arange(0, n_samples * ch, _AWIN * ch)
+                    wsum = np.add.reduceat(used, starts)
+                    peak_w = int(np.argmax(wsum))  # first argmax
+                    total, peak = int(used.sum()), int(wsum.max())
+                else:
+                    total, peak, peak_w = 0, 0, -1
+                out_rows.append(
+                    (
+                        int(doc), int(rate), ch, n_samples,
+                        n_samples * 1000 // int(rate), n_windows,
+                        total, peak, peak_w,
+                    )
+                )
+            yield pd.DataFrame(
+                out_rows,
+                columns=[
+                    "doc_id", "sample_rate", "channels", "n_samples",
+                    "duration_ms", "n_windows", "total_energy",
+                    "peak_energy", "peak_window",
+                ],
+            ).astype(np.int64)
+
+    return d.mapInPandas(
+        energy_batches,
+        "doc_id long, sample_rate long, channels long, n_samples long, "
+        "duration_ms long, n_windows long, total_energy long, "
+        "peak_energy long, peak_window long",
+    )
+
+
+SQL_AUDIO_ENERGY = f"""
+WITH meta AS (
+  SELECT doc_id, text,
+         8000 * (1 + doc_id % 3) AS sample_rate,
+         1 + doc_id % 2 AS channels,
+         (octet_length(encode(text)) // (1 + doc_id % 2)) AS n_samples
+  FROM documents
+),
+m AS (
+  SELECT doc_id, text, sample_rate, channels, n_samples,
+         (n_samples + {_AWIN} - 1) // {_AWIN} AS n_windows,
+         n_samples * channels AS used_bytes
+  FROM meta
+),
+wins AS (
+  SELECT doc_id, w.widx,
+         list_aggregate(
+           list_transform(
+             string_split(
+               substr(text, 1 + w.widx * {_AWIN} * channels,
+                      least({_AWIN} * channels,
+                            used_bytes - w.widx * {_AWIN} * channels)),
+               ''),
+             x -> unicode(x)),
+           'sum') AS energy
+  FROM m, unnest(range(n_windows)) AS w(widx)
+),
+peaks AS (
+  SELECT doc_id, widx, energy,
+         MAX(energy) OVER (PARTITION BY doc_id) AS pk
+  FROM wins
+),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(energy) AS BIGINT) AS total_energy,
+         CAST(MAX(energy) AS BIGINT) AS peak_energy
+  FROM wins GROUP BY doc_id
+),
+pw AS (
+  SELECT doc_id, CAST(MIN(widx) AS BIGINT) AS peak_window
+  FROM peaks WHERE energy = pk GROUP BY doc_id
+)
+SELECT m.doc_id, m.sample_rate,
+       CAST(m.channels AS BIGINT) AS channels,
+       CAST(m.n_samples AS BIGINT) AS n_samples,
+       CAST(m.n_samples * 1000 // m.sample_rate AS BIGINT) AS duration_ms,
+       CAST(m.n_windows AS BIGINT) AS n_windows,
+       COALESCE(agg.total_energy, 0) AS total_energy,
+       COALESCE(agg.peak_energy, 0) AS peak_energy,
+       COALESCE(pw.peak_window, -1) AS peak_window
+FROM m LEFT JOIN agg USING (doc_id) LEFT JOIN pw USING (doc_id)
+"""
+
+
 IMAGING = {
     "phash_hamming_pairs": (q_phash_hamming_pairs, SQL_PHASH_PAIRS),
     "phash_dedup_groups": (q_phash_dedup_groups, SQL_PHASH_GROUPS),
     "image_resize_thumb": (q_image_resize_thumb, SQL_RESIZE_THUMB),
     "frame_sample_stub": (q_frame_sample_stub, SQL_FRAME_SAMPLE),
+    "audio_window_energy": (q_audio_window_energy, SQL_AUDIO_ENERGY),
 }

@@ -210,3 +210,60 @@ def test_cuckoo_crawl_identical_to_bloom(spark, tmp_root, world):
         dataclasses.replace(BASE, seen_filter="cuckoo"),
     )
     assert bloom_out == cuckoo_out
+
+
+# --- property-based: model check vs a Python set (hypothesis) -----------------
+def test_property_insert_delete_model():
+    """Random key multisets + random delete subsets vs a set model. The
+    invariants the crawl relies on, under arbitrary data:
+      * no false negative for any still-present key (deletes included);
+      * build bytes are a function of the key SET (order-free);
+      * deleting keys never flips a present key to negative (the standard
+        cuckoo-deletion contract: delete only inserted keys, once)."""
+    from hypothesis import given, settings, strategies as st
+
+    n_b = 1 << 9  # 512 buckets x 4 slots; cap load under capacity
+    cfg = dataclasses.replace(CFG, cuckoo_buckets_per_shard=n_b)
+
+    keys = st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62),
+        min_size=1,
+        max_size=1200,
+        unique=True,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(data=st.data(), members=keys)
+    def run(data, members):
+        h = np.array(members, dtype=np.int64)
+        tbl = np.zeros((n_b, cuckoo.SLOTS_PER_BUCKET), dtype=np.uint16)
+        overflow = cuckoo._insert_bulk(
+            tbl, cuckoo._bucket1(np.sort(h), n_b), cuckoo._fingerprints(np.sort(h))
+        )
+        # order-free bytes: a shuffled rebuild is byte-identical
+        perm = data.draw(st.permutations(members))
+        tbl2 = np.zeros_like(tbl)
+        hp = np.sort(np.array(perm, dtype=np.int64))
+        cuckoo._insert_bulk(tbl2, cuckoo._bucket1(hp, n_b), cuckoo._fingerprints(hp))
+        assert tbl.tobytes() == tbl2.tobytes()
+        # no false negatives (overflow only forces all-maybe, never negative)
+        assert cuckoo.probe_hashes(h, tbl.tobytes(), overflow, cfg).all()
+        if overflow:
+            return  # deletion contract is defined for non-overflowed tables
+        # delete a random subset once each; survivors must still probe true
+        n_del = data.draw(st.integers(min_value=0, max_value=len(members)))
+        gone = np.sort(h)[:n_del]
+        kept = np.sort(h)[n_del:]
+        fps = cuckoo._fingerprints(gone)
+        b1s = cuckoo._bucket1(gone, n_b)
+        b2s = cuckoo._alt_bucket(b1s, fps, n_b)
+        for fp, b1, b2 in zip(fps, b1s, b2s):
+            for cand in (int(b1), int(b2)):
+                hit = np.nonzero(tbl[cand] == fp)[0]
+                if hit.size:
+                    tbl[cand, hit[0]] = 0
+                    break
+        if kept.size:
+            assert cuckoo.probe_hashes(kept, tbl.tobytes(), False, cfg).all()
+
+    run()

@@ -78,3 +78,32 @@ def test_resize_nearest_pixel_content():
     # lossless round trip of the thumbnail through the codec
     got, fmt = decode(encode(thumb, "png"))
     assert fmt == "png" and np.array_equal(got, thumb)
+
+
+def test_audio_window_energy_math():
+    """Pure-Python twin of the audio_window_energy UDF's per-doc math: a
+    known byte string, stereo (channels=2), window 64 frames — checks
+    frame truncation, per-window sums, first-argmax peak index."""
+    from monocator_spark.queries.imaging import _AWIN
+
+    payload = bytes(range(200)) + bytes([255] * 57)  # 257 bytes, odd tail
+    ch = 2
+    n_samples = len(payload) // ch  # 128; final byte dropped
+    used = list(payload[: n_samples * ch])
+    n_windows = -(-n_samples // _AWIN)  # 2
+    wsz = _AWIN * ch
+    wsums = [sum(used[i : i + wsz]) for i in range(0, len(used), wsz)]
+    assert n_windows == 2 and len(wsums) == 2
+    # window 0 = bytes 0..127 of an ascending ramp; window 1 has the 255s
+    assert wsums[0] == sum(range(128))
+    assert wsums[1] == sum(range(128, 200)) + 255 * 56
+    peak_w = wsums.index(max(wsums))
+    assert peak_w == 1 and sum(wsums) == sum(used)
+
+    import numpy as np
+
+    a = np.frombuffer(payload, dtype=np.uint8)[: n_samples * ch].astype(np.int64)
+    starts = np.arange(0, n_samples * ch, wsz)
+    np_sums = np.add.reduceat(a, starts)
+    assert np_sums.tolist() == wsums
+    assert int(np.argmax(np_sums)) == peak_w
