@@ -66,6 +66,7 @@ HEADLINE = [
     "frame_sample_stub",
     "audio_window_energy",
     "tumbling_window_stream",
+    "session_gap_user",
 ]
 
 

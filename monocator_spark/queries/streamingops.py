@@ -27,6 +27,48 @@ FROM events GROUP BY 1, 2
 """
 
 
+_SESSION_GAP_MIN = 240  # 4h: the sf0.01 events table's median per-user gap
+# is ~7.3h over a 30-day span, so 4h yields a real mix of multi-event
+# sessions and splits (not all-singletons, not one-session-per-user)
+
+
+def q_session_gap_user(spark, sf_dir):
+    """Gap-based sessionization, batch form (`streaming/sessions.py`) —
+    the oracle-checked half of the applyInPandasWithState session
+    operator; the streaming twin is pinned equal on bounded prefixes by
+    tests/test_streaming.py."""
+    from monocator_spark.streaming.sessions import sessionize_batch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize_batch(ev, _SESSION_GAP_MIN)
+
+
+SQL_SESSION_GAP = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                   > CAST({_SESSION_GAP_MIN} AS BIGINT) * 60000000 THEN 1
+              ELSE 0 END
+           AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       COUNT(*) AS n_events,
+       epoch_ms(MAX(ts)) - epoch_ms(MIN(ts)) AS duration_ms
+FROM sess GROUP BY user_id, session_id
+"""
+
+
 STREAMING = {
     "tumbling_window_stream": (q_tumbling_window_stream, SQL_TUMBLE_STREAM),
+    "session_gap_user": (q_session_gap_user, SQL_SESSION_GAP),
 }

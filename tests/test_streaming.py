@@ -204,3 +204,81 @@ def test_stream_enqueue_then_crawl_matches_batch(spark, tmp_root, stream_world, 
     g_order, g_seen = golden
     assert order == g_order
     assert seen == g_seen
+
+
+# -- applyInPandasWithState: gap sessions ---------------------------------------
+
+SESS_SCHEMA_PA = pa.schema(
+    [
+        ("event_id", pa.int64()),
+        ("ts", pa.timestamp("us")),
+        ("user_id", pa.int64()),
+    ]
+)
+
+
+def _write_sess_file(path: str, rows: list[tuple], mtime: int) -> None:
+    tbl = pa.Table.from_pylist(
+        [{"event_id": e, "ts": t, "user_id": u} for e, t, u in rows],
+        schema=SESS_SCHEMA_PA,
+    )
+    pq.write_table(tbl, path)
+    os.utime(path, (mtime, mtime))
+
+
+def test_session_stream_matches_batch_on_closed_sessions(spark, tmp_root):
+    """The applyInPandasWithState session operator emits exactly the batch
+    sessionizer's sessions once their closure is watermark-proven: closed
+    in-batch by a past-gap arrival, or by event-time timeout. The last
+    still-open session stays unemitted."""
+    from monocator_spark.streaming.sessions import (
+        sessionize_batch,
+        start_session_stream,
+    )
+
+    src = f"{tmp_root}/sess-src"
+    sink = f"{tmp_root}/sess-sink"
+    ckpt = f"{tmp_root}/sess-ckpt"
+    os.makedirs(src)
+    base = 1_700_000_000
+    D = datetime.datetime
+    feed = [
+        # f1: user 1 two events inside the gap; user 2 one event
+        [(1, D(2026, 1, 5, 10, 0), 1), (2, D(2026, 1, 5, 10, 30), 1),
+         (3, D(2026, 1, 5, 10, 5), 2)],
+        # f2: user 1 again, 3.5h later (> 60min gap) → session 1 closes
+        # in-batch on arrival
+        [(4, D(2026, 1, 5, 14, 0), 1)],
+        # f3..f5: each advances the watermark, timing out earlier sessions
+        [(5, D(2026, 1, 5, 20, 0), 3)],
+        [(6, D(2026, 1, 5, 23, 0), 4)],
+        [(7, D(2026, 1, 6, 12, 0), 5)],
+    ]
+    for i, rows in enumerate(feed):
+        _write_sess_file(f"{src}/f{i}.parquet", rows, base + i)
+
+    schema = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long"
+    ).schema
+    for _ in range(2):  # second run = the no-data finalization batch
+        q = start_session_stream(
+            spark, src, schema, sink, ckpt, gap_minutes=60,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination()
+
+    got = sorted(tuple(r) for r in spark.read.parquet(sink).collect())
+
+    all_events = spark.createDataFrame(
+        [(e, t, u) for rows in feed for (e, t, u) in rows],
+        "event_id long, ts timestamp, user_id long",
+    )
+    batch = sessionize_batch(all_events, 60)
+    # user 5's session is still open (nothing advanced the watermark past
+    # its last event + gap); everything else is provably closed
+    exp = sorted(
+        tuple(r) for r in batch.where("user_id != 5").collect()
+    )
+    assert got == exp and len(got) == 5
+    open_keys = {r[0] for r in batch.collect()} - {r[0] for r in got}
+    assert open_keys == {5}
