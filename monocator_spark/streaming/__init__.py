@@ -1,6 +1,6 @@
 """Structured Streaming surface of the crawl engine.
 
-Two jobs live here:
+Three jobs live here:
 
 * ``enqueue_stream.StreamingEnqueue`` — the continuous-discovery twin of the
   batch enqueue path (O1-O4): a file-source ``readStream`` over a seed-feed
@@ -12,7 +12,12 @@ Two jobs live here:
   watermarked streaming aggregation, runnable in bounded mode
   (``Trigger.AvailableNow`` + memory sink) so the driver's DuckDB oracle can
   hash-compare its output against the batch equivalent.
+* ``sessions`` — gap-based session tracking: the custom stateful operator
+  (``applyInPandasWithState``, per-key state + event-time timeouts) and its
+  pure-Catalyst batch twin ``sessionize_batch`` (the oracle-checked
+  ``session_gap_user`` query).
 """
 
 from monocator_spark.streaming.enqueue_stream import StreamingEnqueue  # noqa: F401
+from monocator_spark.streaming.sessions import sessionize_batch  # noqa: F401
 from monocator_spark.streaming.windows import tumbling_event_counts  # noqa: F401
