@@ -46,6 +46,7 @@ HEADLINE = [
     "simhash_docs",
     "simhash_dedup_groups",
     "embedding_cosine_topk",
+    "embedding_neardup_pairs",
     "ann_ivf_bucketed",
     "bloom_build_stats",
     "cuckoo_build_stats",

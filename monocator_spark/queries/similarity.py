@@ -280,9 +280,119 @@ JOIN embeddings eb ON eb.vec_id = p.doc2
 """
 
 
+# -- exact embedding near-dup via metric grid blocking -------------------------
+# The EXACT counterpart to the LSH paths: for unit vectors, cos(x,y) ≥ τ
+# implies ||x̂−ŷ||₂ ≤ √(2−2τ), hence per-coordinate |x̂ᵢ−ŷᵢ| ≤ w = √(2−2τ).
+# Bucketing the first m normalized coordinates into w-wide grid cells and
+# joining each cell against its 3^m neighbors is therefore a SUPERSET of
+# the true pair set — candidate generation with zero recall loss, unlike
+# random-hyperplane LSH. Pruning factor ≈ (spread/w)^m, so it has power
+# exactly in the near-dup regime (high τ → small w); at 100 TB the grid
+# cell is the shuffle key and each cell joins only its neighborhood —
+# no all-pairs stage anywhere. The real embeddings table has no
+# near-dup structure (max pairwise cosine 0.51), so — the same move the
+# phash family makes for absent image bytes — the vectors are synthesized
+# deterministically on BOTH engines from vec_id with planted clusters:
+# 50 md5-derived 16-dim cluster centroids, ±0.05-scale md5 per-vector
+# noise, so intra-cluster cosine ≈ 0.9975 and inter-cluster cosine is
+# sub-0.9. Values: integer-md5 / 1000.0 arithmetic → bit-identical doubles
+# on both engines; the defensive round(…, 4) on the cosine matches the
+# rest of this module.
+_ND_CLUSTERS = 50
+_ND_DIM = 16
+_ND_TAU = 0.99
+# blocking width from τ' = 0.985 < the rounded-filter's effective floor
+# (round(c,4) ≥ 0.99 ⟸ c ≥ 0.98995), keeping the grid a strict superset
+_ND_W = (2 - 2 * 0.985) ** 0.5
+
+_H15_SPARK = (
+    "(cast(conv(substr(md5(concat('{tag}|', cast({key} as string), '|',"
+    " cast(k as string))),1,15),16,10) as bigint) % 2001 - 1000)"
+)
+_H15_DUCK = (
+    "(CAST(('0x'||substr(md5('{tag}|'||CAST({key} AS VARCHAR)||'|'"
+    "||CAST(k AS VARCHAR)),1,15)) AS BIGINT) % 2001 - 1000)"
+)
+_VEC_SPARK = (
+    f"transform(sequence(0, {_ND_DIM - 1}), k -> "
+    f"cast({_H15_SPARK.format(tag='emb', key=f'vec_id % {_ND_CLUSTERS}')} as double) / 1000.0"
+    f" + cast({_H15_SPARK.format(tag='nz', key='vec_id')} as double) / 20000.0)"
+)
+_VEC_DUCK = (
+    f"list_transform(range(0, {_ND_DIM}), k -> "
+    f"{_H15_DUCK.format(tag='emb', key=f'vec_id % {_ND_CLUSTERS}')} / 1000.0"
+    f" + {_H15_DUCK.format(tag='nz', key='vec_id')} / 20000.0)"
+)
+
+
+def q_embedding_neardup_pairs(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_VEC_SPARK).alias("emb")
+    )
+    nrm = F.expr(_DOT.format(a="emb", b="emb"))
+    # n2 (self dot product) is computed once per point, not per pair: the
+    # fold yields the same double either way, so cos stays bit-identical to
+    # the oracle while the verify stage folds only the cross dot product
+    pts = e.select(
+        "vec_id",
+        "emb",
+        nrm.alias("n2"),
+        F.floor(F.col("emb")[0] / F.sqrt(nrm) / F.lit(_ND_W)).alias("b0"),
+        F.floor(F.col("emb")[1] / F.sqrt(nrm) / F.lit(_ND_W)).alias("b1"),
+    )
+    # side B re-keys each point under its 9 neighbor cells; a qualifying
+    # pair lands on exactly one (cell, cell) key — no post-join distinct
+    offs = F.array(*[F.lit(d) for d in (-1, 0, 1)])
+    probe = (
+        pts.select(
+            F.col("vec_id").alias("vb"),
+            F.col("emb").alias("eb"),
+            F.col("n2").alias("nb2"),
+            "b0",
+            "b1",
+            F.explode(offs).alias("d0"),
+        )
+        .select("vb", "eb", "nb2", (F.col("b0") + F.col("d0")).alias("nb0"),
+                "b1", F.explode(offs).alias("d1"))
+        .select("vb", "eb", "nb2", "nb0",
+                (F.col("b1") + F.col("d1")).alias("nb1"))
+    )
+    cand = pts.join(
+        probe,
+        (F.col("b0") == F.col("nb0"))
+        & (F.col("b1") == F.col("nb1"))
+        & (F.col("vec_id") < F.col("vb")),
+    )
+    dot = _DOT.format(a="emb", b="eb")
+    return (
+        cand.withColumn(
+            "cos_sim", F.expr(f"round({dot} / (sqrt(n2) * sqrt(nb2)), 4)")
+        )
+        .where(F.col("cos_sim") >= _ND_TAU)
+        .select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("vb").alias("vec_b"),
+            "cos_sim",
+        )
+    )
+
+
+def _sql_neardup() -> str:
+    cos = _cos_duck("a.emb", "b.emb")
+    return f"""
+WITH v AS (
+  SELECT vec_id, {_VEC_DUCK} AS emb FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cos_sim
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE {cos} >= {_ND_TAU}
+"""
+
+
 SIMILARITY = {
     "embedding_cosine_topk": (q_cosine_topk, SQL_TOPK_COS),
     "ann_ivf_bucketed": (q_ann_bucketed, SQL_ANN_BUCKET),
     "ann_lsh_bucketed": (q_ann_lsh_bucketed, _sql_ann_lsh()),
     "semantic_dedup_twostage": (q_semantic_dedup, _sql_semantic_dedup()),
+    "embedding_neardup_pairs": (q_embedding_neardup_pairs, _sql_neardup()),
 }
