@@ -64,6 +64,7 @@ HEADLINE = [
     "sample_stratified",
     "vat_scrape_decision",
     "image_resize_thumb",
+    "image_quality_gate",
     "frame_sample_stub",
     "audio_window_energy",
     "tumbling_window_stream",

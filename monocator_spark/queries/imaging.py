@@ -435,10 +435,145 @@ FROM m LEFT JOIN agg USING (doc_id) LEFT JOIN pw USING (doc_id)
 """
 
 
+# -- image quality gate (real codec round trip, value-pinned oracle) -----------
+# The LAION-style pre-training filter: decode → integer pixel stats →
+# keep/reject verdict. The pristine pixels are the document's UTF-8 bytes
+# (ASCII testdata, so SQL-addressable) reshaped to h×w with w derived from
+# doc_id and the trailing partial row truncated — then the payload takes a
+# REAL `functions.imaging` encode→decode round trip: even doc_ids go
+# through the png path (lossless), odd through the jpeg path, whose 4-level
+# quantization ((b//4)*4+2) the oracle replicates. Stats are exact int64
+# arithmetic — mean/variance/horizontal-gradient in milli-units via integer
+# division — so the driver pins VALUES, including the codec's loss, not
+# just shapes. The gradient is genuinely 2D: |v[i,j+1]−v[i,j]| within rows
+# only, never across the row boundary. At 100 TB each image is one row
+# through one mapInPandas pass — scan-local, zero shuffles.
+_GATE_MIN_PX = 64        # below: 'undersized' (testdata n_px spans 30..552)
+_GATE_FLAT_GRAD = 32_000     # grad_milli below: 'flat'        (~p25)
+_GATE_LOW_VAR = 858_000      # var_milli below: 'low_contrast' (~p25)
+
+
+def q_image_quality_gate(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+
+    def gate_batches(it):
+        from monocator_spark.functions import imaging as img
+
+        for pdf in it:
+            out_rows = []
+            for doc, payload in zip(pdf["doc_id"], pdf["payload"]):
+                doc = int(doc)
+                fmt = "png" if doc % 2 == 0 else "jpeg"
+                b = np.frombuffer(payload, dtype=np.uint8)
+                w = 8 + doc % 24
+                h = len(b) // w
+                n = w * h
+                # real codec round trip: raw bytes as pristine pixels
+                px, got_fmt = img.decode(img.encode(b[:n].reshape(h, w), fmt))
+                v = px.astype(np.int64)
+                if n:
+                    s1, s2 = int(v.sum()), int((v * v).sum())
+                    mean_m = s1 * 1000 // n
+                    var_m = (n * s2 - s1 * s1) * 1000 // (n * n)
+                    gsum = int(np.abs(np.diff(v, axis=1)).sum())
+                    ng = h * (w - 1)
+                    grad_m = gsum * 1000 // ng if ng else 0
+                else:
+                    mean_m = var_m = grad_m = 0
+                if n < _GATE_MIN_PX:
+                    verdict = "undersized"
+                elif grad_m < _GATE_FLAT_GRAD:
+                    verdict = "flat"
+                elif var_m < _GATE_LOW_VAR:
+                    verdict = "low_contrast"
+                else:
+                    verdict = "ok"
+                out_rows.append(
+                    (doc, got_fmt, w, h, n, mean_m, var_m, grad_m, verdict)
+                )
+            out = pd.DataFrame(
+                out_rows,
+                columns=[
+                    "doc_id", "fmt", "w", "h", "n_px",
+                    "mean_milli", "var_milli", "grad_milli", "verdict",
+                ],
+            )
+            for c in ("doc_id", "w", "h", "n_px", "mean_milli", "var_milli",
+                      "grad_milli"):
+                out[c] = out[c].astype(np.int64)
+            yield out
+
+    return d.mapInPandas(
+        gate_batches,
+        "doc_id long, fmt string, w long, h long, n_px long, "
+        "mean_milli long, var_milli long, grad_milli long, verdict string",
+    )
+
+
+SQL_QUALITY_GATE = f"""
+WITH dims AS (
+  SELECT doc_id, text,
+         CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+         8 + doc_id % 24 AS w,
+         octet_length(encode(text)) // (8 + doc_id % 24) AS h
+  FROM documents
+),
+px AS (
+  -- v = the decoded pixel list: raw byte for png, 4-level dequantized for
+  -- jpeg — exactly functions/imaging.py's codec semantics
+  SELECT doc_id, fmt, w, h, w * h AS n_px,
+         list_transform(
+           range(w * h),
+           k -> CASE WHEN fmt = 'jpeg'
+                     THEN (unicode(substr(text, 1 + CAST(k AS INT), 1)) // 4) * 4 + 2
+                     ELSE unicode(substr(text, 1 + CAST(k AS INT), 1)) END
+         ) AS v
+  FROM dims
+),
+stats AS (
+  SELECT doc_id, fmt, w, h, n_px,
+         list_aggregate(v, 'sum') AS s1,
+         list_aggregate(list_transform(v, x -> x * x), 'sum') AS s2,
+         list_aggregate(
+           list_transform(
+             range(n_px - 1),
+             k -> CASE WHEN (k + 1) % w = 0 THEN 0
+                       ELSE abs(v[CAST(k AS INT) + 2] - v[CAST(k AS INT) + 1]) END),
+           'sum') AS gsum
+  FROM px
+),
+m AS (
+  SELECT doc_id, fmt, w, h, n_px,
+         CASE WHEN n_px > 0 THEN s1 * 1000 // n_px ELSE 0 END AS mean_milli,
+         CASE WHEN n_px > 0
+              THEN (n_px * s2 - s1 * s1) * 1000 // (n_px * n_px)
+              ELSE 0 END AS var_milli,
+         CASE WHEN h * (w - 1) > 0
+              THEN COALESCE(gsum, 0) * 1000 // (h * (w - 1))
+              ELSE 0 END AS grad_milli
+  FROM stats
+)
+SELECT doc_id, fmt,
+       CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+       CAST(n_px AS BIGINT) AS n_px,
+       CAST(mean_milli AS BIGINT) AS mean_milli,
+       CAST(var_milli AS BIGINT) AS var_milli,
+       CAST(grad_milli AS BIGINT) AS grad_milli,
+       CASE WHEN n_px < {_GATE_MIN_PX} THEN 'undersized'
+            WHEN grad_milli < {_GATE_FLAT_GRAD} THEN 'flat'
+            WHEN var_milli < {_GATE_LOW_VAR} THEN 'low_contrast'
+            ELSE 'ok' END AS verdict
+FROM m
+"""
+
+
 IMAGING = {
     "phash_hamming_pairs": (q_phash_hamming_pairs, SQL_PHASH_PAIRS),
     "phash_dedup_groups": (q_phash_dedup_groups, SQL_PHASH_GROUPS),
     "image_resize_thumb": (q_image_resize_thumb, SQL_RESIZE_THUMB),
     "frame_sample_stub": (q_frame_sample_stub, SQL_FRAME_SAMPLE),
     "audio_window_energy": (q_audio_window_energy, SQL_AUDIO_ENERGY),
+    "image_quality_gate": (q_image_quality_gate, SQL_QUALITY_GATE),
 }

@@ -107,3 +107,58 @@ def test_audio_window_energy_math():
     np_sums = np.add.reduceat(a, starts)
     assert np_sums.tolist() == wsums
     assert int(np.argmax(np_sums)) == peak_w
+
+
+def test_image_quality_gate_codec_loss_and_verdicts(spark):
+    """The gate's stats must reflect the REAL codec round trip: the same
+    bytes scored via the jpeg path lose variance/gradient to the 4-level
+    quantization, and every verdict branch is reachable on testdata."""
+    import numpy as np
+
+    from monocator_spark.functions import imaging as img
+    from monocator_spark.queries.imaging import (
+        _GATE_FLAT_GRAD,
+        _GATE_LOW_VAR,
+        _GATE_MIN_PX,
+        q_image_quality_gate,
+    )
+
+    # pure-Python twin of one doc's math, both codec paths
+    raw = np.frombuffer(b"The quick brown fox jumps over the lazy dog!" * 3,
+                        dtype=np.uint8)
+    w = 11
+    h = len(raw) // w
+    n = w * h
+    for fmt in ("png", "jpeg"):
+        px, got_fmt = img.decode(img.encode(raw[:n].reshape(h, w), fmt))
+        v = px.astype(np.int64)
+        if fmt == "jpeg":
+            assert np.array_equal(
+                v, ((raw[:n].astype(np.int64) // 4) * 4 + 2).reshape(h, w)
+            )
+        else:
+            assert np.array_equal(v, raw[:n].reshape(h, w))
+        assert got_fmt == fmt
+    # quantization can only shrink the horizontal gradient sum
+    png_g = int(np.abs(np.diff(raw[:n].reshape(h, w).astype(np.int64), axis=1)).sum())
+    jq = ((raw[:n].astype(np.int64) // 4) * 4 + 2).reshape(h, w)
+    assert int(np.abs(np.diff(jq, axis=1)).sum()) <= png_g
+
+    rows = q_image_quality_gate(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_verdict = {}
+    for r in rows:
+        by_verdict.setdefault(r["verdict"], 0)
+        by_verdict[r["verdict"]] += 1
+        # verdict is a pure function of the emitted stats
+        if r["n_px"] < _GATE_MIN_PX:
+            assert r["verdict"] == "undersized"
+        elif r["grad_milli"] < _GATE_FLAT_GRAD:
+            assert r["verdict"] == "flat"
+        elif r["var_milli"] < _GATE_LOW_VAR:
+            assert r["verdict"] == "low_contrast"
+        else:
+            assert r["verdict"] == "ok"
+        assert r["fmt"] == ("png" if r["doc_id"] % 2 == 0 else "jpeg")
+        assert r["n_px"] == r["w"] * r["h"]
+    assert "ok" in by_verdict and len(by_verdict) >= 2
