@@ -69,6 +69,7 @@ HEADLINE = [
     "audio_window_energy",
     "tumbling_window_stream",
     "session_gap_user",
+    "dedup_stream_first_seen",
 ]
 
 

@@ -68,7 +68,28 @@ FROM sess GROUP BY user_id, session_id
 """
 
 
+def q_dedup_stream_first_seen(spark, sf_dir):
+    """The crawl's URL-seen dedup (O4) as a REAL streaming query — bounded
+    complete-mode drain whose min/max/count aggregate is processing-order-
+    insensitive, hence batch-equivalent on a static input; the unbounded
+    dropDuplicatesWithinWatermark form is pinned by tests/test_streaming.py
+    where its evict/re-emit behaviour is observable."""
+    from monocator_spark.streaming.dedup_stream import first_seen_drain
+
+    return first_seen_drain(spark, f"{sf_dir}/events.parquet")
+
+
+SQL_DEDUP_STREAM = """
+SELECT 'u' || CAST(user_id AS VARCHAR) || '/' || event_type AS url_key,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_seen,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_seen,
+       COUNT(*) - 1 AS n_dups
+FROM events GROUP BY 1
+"""
+
+
 STREAMING = {
     "tumbling_window_stream": (q_tumbling_window_stream, SQL_TUMBLE_STREAM),
     "session_gap_user": (q_session_gap_user, SQL_SESSION_GAP),
+    "dedup_stream_first_seen": (q_dedup_stream_first_seen, SQL_DEDUP_STREAM),
 }

@@ -16,8 +16,13 @@ Three jobs live here:
   (``applyInPandasWithState``, per-key state + event-time timeouts) and its
   pure-Catalyst batch twin ``sessionize_batch`` (the oracle-checked
   ``session_gap_user`` query).
+* ``dedup_stream`` — the URL-seen dedup (O4) in streaming form: a bounded
+  first-seen/duplicate-count drain (the oracle surface) and the unbounded
+  watermark-bounded-state ``dropDuplicatesWithinWatermark`` deployment
+  shape.
 """
 
+from monocator_spark.streaming.dedup_stream import first_seen_drain  # noqa: F401
 from monocator_spark.streaming.enqueue_stream import StreamingEnqueue  # noqa: F401
 from monocator_spark.streaming.sessions import sessionize_batch  # noqa: F401
 from monocator_spark.streaming.windows import tumbling_event_counts  # noqa: F401

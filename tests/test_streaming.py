@@ -282,3 +282,78 @@ def test_session_stream_matches_batch_on_closed_sessions(spark, tmp_root):
     assert got == exp and len(got) == 5
     open_keys = {r[0] for r in batch.collect()} - {r[0] for r in got}
     assert open_keys == {5}
+
+
+# -- streaming URL-seen dedup: watermark-bounded state -------------------------
+
+DEDUP_SCHEMA_PA = pa.schema(
+    [
+        ("ts", pa.timestamp("us")),
+        ("user_id", pa.int64()),
+        ("event_type", pa.string()),
+    ]
+)
+
+
+def _write_dedup_file(path: str, rows: list[tuple], mtime: int) -> None:
+    tbl = pa.Table.from_pylist(
+        [{"ts": t, "user_id": u, "event_type": e} for t, u, e in rows],
+        schema=DEDUP_SCHEMA_PA,
+    )
+    pq.write_table(tbl, path)
+    os.utime(path, (mtime, mtime))
+
+
+def test_dedup_stream_drops_within_horizon_reemits_after(spark, tmp_root):
+    """dropDuplicatesWithinWatermark contract, stepped file-by-file:
+    duplicate within the 30-minute horizon dropped; key re-arriving after
+    the watermark evicted its state emitted as a fresh first-seen."""
+    from monocator_spark.streaming.dedup_stream import start_dedup_stream
+
+    src = f"{tmp_root}/dd-src"
+    sink = f"{tmp_root}/dd-sink"
+    ckpt = f"{tmp_root}/dd-ckpt"
+    os.makedirs(src)
+    base = 1_700_000_000
+
+    feed_schema = spark.createDataFrame(
+        [], "ts timestamp, user_id long, event_type string"
+    ).schema
+
+    def step() -> None:
+        q = start_dedup_stream(
+            spark, src, feed_schema, sink, ckpt, watermark="30 minutes"
+        )
+        q.awaitTermination()
+
+    # batch 0: keys A=(7,'click') and B=(8,'view') → both emitted
+    _write_dedup_file(
+        f"{src}/f1.parquet",
+        [(_TS(10, 0), 7, "click"), (_TS(10, 5), 8, "view")],
+        base,
+    )
+    step()
+    # batch 1: A again 10 min later — within the horizon → dropped
+    _write_dedup_file(f"{src}/f2.parquet", [(_TS(10, 10), 7, "click")], base + 10)
+    step()
+    # batch 2: C at 12:00 advances the watermark to 11:30 → A's state
+    # (10:00 + 30 min = 10:30 < 11:30) is evicted after this batch
+    _write_dedup_file(f"{src}/f3.parquet", [(_TS(12, 0), 9, "click")], base + 20)
+    step()
+    # batch 3: A again at 11:45 — not late (watermark 11:30), state gone →
+    # emitted as a fresh first-seen
+    _write_dedup_file(f"{src}/f4.parquet", [(_TS(11, 45), 7, "click")], base + 30)
+    step()
+
+    out = sorted(
+        (r["url_key"], r["ts"])
+        for r in spark.read.parquet(sink).collect()
+    )
+    assert out == sorted(
+        [
+            ("u7/click", _TS(10, 0)),
+            ("u8/view", _TS(10, 5)),
+            ("u9/click", _TS(12, 0)),
+            ("u7/click", _TS(11, 45)),
+        ]
+    )
