@@ -63,6 +63,8 @@ HEADLINE = [
     "tfidf_topk",
     "sample_stratified",
     "vat_scrape_decision",
+    "doc_repetition_stats",
+    "pii_scrub_stats",
     "image_resize_thumb",
     "image_quality_gate",
     "frame_sample_stub",

@@ -853,6 +853,210 @@ FROM documents
 """
 
 
+# -- Gopher-style repetition stats ---------------------------------------------
+# The repetition leg of the Gopher/RefinedWeb quality rules (the one
+# quality_score doesn't cover): distinct-word ratio, most-frequent-word
+# fraction, duplicated-bigram fraction, and the resulting keep/flag bit.
+# Physical shape: word stats ride ONE partial-aggregated shuffle keyed
+# (doc_id, token) — doc_id in the key means no skew regardless of corpus
+# vocabulary — then collapse to per-doc; bigram stats never shuffle at all
+# (per-row array_distinct over the slice-built bigram list). The join
+# aligning the two halves is doc_id-to-doc_id on co-partitioned children.
+# Thresholds sit at ~p90-p95 of the testdata distribution so the flag
+# branch genuinely fires.
+_REP_MIN_DISTINCT = 0.32   # distinct_ratio below → flagged (~p5)
+_REP_TOP_FRAC = 0.14       # top-word fraction above → flagged (~p90)
+_REP_DUP_BG = 0.065        # duplicated-bigram fraction above → flagged (~p90)
+_WS = "filter(split(text, ' '), t -> t <> '')"
+
+
+def q_doc_repetition_stats(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.expr(_WS)).alias("tok"))
+    words = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("top_word_n"),
+        )
+    )
+    bigrams = d.select(
+        "doc_id",
+        F.expr(
+            f"case when size({_WS}) < 2 then array()"
+            f" else transform(sequence(1, size({_WS}) - 1),"
+            f"                i -> array_join(slice({_WS}, i, 2), ' ')) end"
+        ).alias("bgs"),
+    ).select(
+        "doc_id",
+        F.size("bgs").cast("long").alias("n_bigrams"),
+        F.size(F.array_distinct("bgs")).cast("long").alias("n_distinct_bg"),
+    )
+    out = (
+        words.join(bigrams, "doc_id")
+        .withColumn(
+            "distinct_ratio", F.round(F.col("n_distinct") / F.col("n_words"), 6)
+        )
+        .withColumn(
+            "top_word_frac", F.round(F.col("top_word_n") / F.col("n_words"), 6)
+        )
+        .withColumn(
+            "dup_bigram_frac",
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.round(1 - F.col("n_distinct_bg") / F.col("n_bigrams"), 6),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    return out.select(
+        "doc_id", "n_words", "n_distinct", "top_word_n", "n_bigrams",
+        "distinct_ratio", "top_word_frac", "dup_bigram_frac",
+        (
+            (F.col("distinct_ratio") < _REP_MIN_DISTINCT)
+            | (F.col("top_word_frac") > _REP_TOP_FRAC)
+            | (F.col("dup_bigram_frac") > _REP_DUP_BG)
+        ).alias("flagged"),
+    )
+
+
+SQL_REPETITION = f"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ws
+  FROM documents
+),
+toks AS (SELECT doc_id, unnest(ws) AS tok FROM w),
+wc AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+words AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         CAST(MAX(c) AS BIGINT) AS top_word_n
+  FROM wc GROUP BY 1
+),
+bg AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) < 2 THEN []
+              ELSE list_transform(range(1, len(ws)),
+                     i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1])
+              END AS bgs
+  FROM w
+),
+bgn AS (
+  SELECT doc_id, CAST(len(bgs) AS BIGINT) AS n_bigrams,
+         CAST(len(list_distinct(bgs)) AS BIGINT) AS n_distinct_bg
+  FROM bg
+),
+m AS (
+  SELECT words.doc_id, n_words, n_distinct, top_word_n, n_bigrams,
+         ROUND(CAST(n_distinct AS DOUBLE) / n_words, 6) AS distinct_ratio,
+         ROUND(CAST(top_word_n AS DOUBLE) / n_words, 6) AS top_word_frac,
+         CASE WHEN n_bigrams > 0
+              THEN ROUND(1 - CAST(n_distinct_bg AS DOUBLE) / n_bigrams, 6)
+              ELSE 0.0 END AS dup_bigram_frac
+  FROM words JOIN bgn ON words.doc_id = bgn.doc_id
+)
+SELECT doc_id, n_words, n_distinct, top_word_n, n_bigrams,
+       distinct_ratio, top_word_frac, dup_bigram_frac,
+       (distinct_ratio < {_REP_MIN_DISTINCT}
+        OR top_word_frac > {_REP_TOP_FRAC}
+        OR dup_bigram_frac > {_REP_DUP_BG}) AS flagged
+FROM m
+"""
+
+
+# -- PII scrubbing -------------------------------------------------------------
+# The redaction pass every published-corpus pipeline runs (C4/RefinedWeb
+# style): count + replace emails, phone numbers, and IPv4 literals. The
+# testdata text carries no '@' or digits (verified), so the PII is planted
+# deterministically from doc_id on BOTH engines — the counts are exactly
+# determined, but the matching itself is each engine's real regex machinery
+# (Java regex in Catalyst, RE2 in DuckDB), so the oracle pins that the two
+# dialects agree span-for-span, including the two-emails-per-doc multi-match
+# rows. Scan-local regexp_count/regexp_replace, zero shuffles; at 100 TB
+# this is one codegen'd projection over the corpus scan.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+1-555-[0-9]{4}"
+_PII_IP = r"10\.[0-9]+\.[0-9]+\.[0-9]+"
+
+_PII_TEXT_SPARK = (
+    "concat(text,"
+    " case when doc_id % 3 = 0 then concat(' contact user',"
+    "   cast(doc_id as string), '@ex', cast(doc_id % 7 as string), '.com')"
+    "   else '' end,"
+    " case when doc_id % 6 = 0 then concat(' cc admin',"
+    "   cast(doc_id as string), '@mail.org') else '' end,"
+    " case when doc_id % 5 = 0 then concat(' call +1-555-',"
+    "   cast(1000 + doc_id % 9000 as string)) else '' end,"
+    " case when doc_id % 7 = 0 then concat(' host 10.',"
+    "   cast(doc_id % 256 as string), '.0.', cast(doc_id % 100 as string))"
+    "   else '' end)"
+)
+_PII_TEXT_DUCK = (
+    "text"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)"
+    "      || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.com' ELSE '' END"
+    " || CASE WHEN doc_id % 6 = 0 THEN ' cc admin' || CAST(doc_id AS VARCHAR)"
+    "      || '@mail.org' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' call +1-555-'"
+    "      || CAST(1000 + doc_id % 9000 AS VARCHAR) ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)"
+    "      || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END"
+)
+
+
+def q_pii_scrub_stats(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_PII_TEXT_SPARK).alias("t2")
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t2"), F.lit(_PII_EMAIL), F.lit("<EMAIL>")),
+            F.lit(_PII_PHONE),
+            F.lit("<PHONE>"),
+        ),
+        F.lit(_PII_IP),
+        F.lit("<IP>"),
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count("t2", F.lit(_PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count("t2", F.lit(_PII_PHONE)).cast("long").alias("n_phones"),
+        F.regexp_count("t2", F.lit(_PII_IP)).cast("long").alias("n_ips"),
+        F.length("t2").cast("long").alias("orig_len"),
+        F.length(scrubbed).cast("long").alias("scrub_len"),
+        (
+            F.regexp_count("t2", F.lit(_PII_EMAIL))
+            + F.regexp_count("t2", F.lit(_PII_PHONE))
+            + F.regexp_count("t2", F.lit(_PII_IP))
+            > 0
+        ).alias("has_pii"),
+    )
+
+
+SQL_PII_SCRUB = f"""
+WITH t AS (SELECT doc_id, {_PII_TEXT_DUCK} AS t2 FROM documents),
+m AS (
+  SELECT doc_id, t2,
+         CAST(len(regexp_extract_all(t2, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+         CAST(len(regexp_extract_all(t2, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+         CAST(len(regexp_extract_all(t2, '{_PII_IP}')) AS BIGINT) AS n_ips,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(t2, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g'),
+           '{_PII_IP}', '<IP>', 'g') AS scrubbed
+  FROM t
+)
+SELECT doc_id, n_emails, n_phones, n_ips,
+       CAST(length(t2) AS BIGINT) AS orig_len,
+       CAST(length(scrubbed) AS BIGINT) AS scrub_len,
+       (n_emails + n_phones + n_ips > 0) AS has_pii
+FROM m
+"""
+
+
 TEXTOPS = {
     "ngram_topk": (q_ngram_topk, SQL_NGRAM_TOPK),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
@@ -875,4 +1079,6 @@ TEXTOPS = {
     "bloom_build_stats": (q_bloom_build_stats, SQL_BLOOM),
     "cuckoo_build_stats": (q_cuckoo_build_stats, SQL_CUCKOO),
     "multimodal_decode_stub": (q_multimodal_decode_stub, SQL_DECODE_STUB),
+    "doc_repetition_stats": (q_doc_repetition_stats, SQL_REPETITION),
+    "pii_scrub_stats": (q_pii_scrub_stats, SQL_PII_SCRUB),
 }

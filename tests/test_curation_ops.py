@@ -1,0 +1,105 @@
+"""Corpus-curation ops: Gopher-style repetition stats + PII scrubbing.
+
+The oracle gate hash-verifies both against DuckDB at sf0.01; these tests
+pin the per-doc math against an independent pure-Python twin and the
+planted-PII arithmetic, so a same-bug-both-engines regression can't slip
+through the hash compare.
+"""
+
+from collections import Counter
+
+from monocator_spark.queries.relational import T
+from monocator_spark.queries.textops import (
+    _REP_DUP_BG,
+    _REP_MIN_DISTINCT,
+    _REP_TOP_FRAC,
+    q_doc_repetition_stats,
+    q_pii_scrub_stats,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_repetition_stats_match_python_twin(spark):
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in T(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    }
+    rows = q_doc_repetition_stats(spark, SF_DIR).collect()
+    assert len(rows) == len(texts)
+    flagged = 0
+    for r in rows:
+        ws = [t for t in texts[r["doc_id"]].split(" ") if t]
+        cnt = Counter(ws)
+        bgs = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        assert r["n_words"] == len(ws)
+        assert r["n_distinct"] == len(cnt)
+        assert r["top_word_n"] == max(cnt.values())
+        assert r["n_bigrams"] == len(bgs)
+        assert r["distinct_ratio"] == round(len(cnt) / len(ws), 6)
+        assert r["top_word_frac"] == round(max(cnt.values()) / len(ws), 6)
+        exp_dup = round(1 - len(set(bgs)) / len(bgs), 6) if bgs else 0.0
+        assert r["dup_bigram_frac"] == exp_dup
+        exp_flag = (
+            r["distinct_ratio"] < _REP_MIN_DISTINCT
+            or r["top_word_frac"] > _REP_TOP_FRAC
+            or r["dup_bigram_frac"] > _REP_DUP_BG
+        )
+        assert r["flagged"] == exp_flag
+        flagged += exp_flag
+    assert 0 < flagged < len(rows)  # both branches fire
+
+
+def test_pii_scrub_counts_and_lengths(spark):
+    import re
+
+    lens = {
+        r["doc_id"]: len(r["text"])
+        for r in T(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    }
+    rows = q_pii_scrub_stats(spark, SF_DIR).collect()
+    assert len(rows) == len(lens)
+    for r in rows:
+        doc = r["doc_id"]
+        # planted-PII arithmetic: counts are a pure function of doc_id
+        assert r["n_emails"] == (doc % 3 == 0) + (doc % 6 == 0)
+        assert r["n_phones"] == (doc % 5 == 0)
+        assert r["n_ips"] == (doc % 7 == 0)
+        assert r["has_pii"] == (r["n_emails"] + r["n_phones"] + r["n_ips"] > 0)
+        # length delta: each match collapsed to its fixed token
+        plant = 0
+        removed = 0
+        if doc % 3 == 0:
+            em = f"user{doc}@ex{doc % 7}.com"
+            plant += len(" contact ") + len(em)
+            removed += len(em) - len("<EMAIL>")
+        if doc % 6 == 0:
+            em = f"admin{doc}@mail.org"
+            plant += len(" cc ") + len(em)
+            removed += len(em) - len("<EMAIL>")
+        if doc % 5 == 0:
+            ph = f"+1-555-{1000 + doc % 9000}"
+            plant += len(" call ") + len(ph)
+            removed += len(ph) - len("<PHONE>")
+        if doc % 7 == 0:
+            ip = f"10.{doc % 256}.0.{doc % 100}"
+            plant += len(" host ") + len(ip)
+            removed += len(ip) - len("<IP>")
+        assert r["orig_len"] == lens[doc] + plant
+        assert r["scrub_len"] == r["orig_len"] - removed
+
+    # a third regex engine (Python re) agrees span-for-span on one doc
+    doc = next(d for d in lens if d % 3 == 0 and d % 5 == 0 and d % 7 == 0)
+    row = next(r for r in rows if r["doc_id"] == doc)
+    t2 = (
+        "x"  # the base text has no '@' or digits, so a stand-in suffices
+        + f" contact user{doc}@ex{doc % 7}.com"
+        + (f" cc admin{doc}@mail.org" if doc % 6 == 0 else "")
+        + f" call +1-555-{1000 + doc % 9000}"
+        + f" host 10.{doc % 256}.0.{doc % 100}"
+    )
+    assert row["n_emails"] == len(
+        re.findall(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", t2)
+    )
+    assert row["n_phones"] == len(re.findall(r"\+1-555-[0-9]{4}", t2))
+    assert row["n_ips"] == len(re.findall(r"10\.[0-9]+\.[0-9]+\.[0-9]+", t2))
