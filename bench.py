@@ -35,6 +35,7 @@ HEADLINE = [
     "lineage_rollup",
     "topk_global",
     "range_join_window",
+    "asof_join_events",
     "json_extract_agg",
     "tumbling_window",
     "token_count",

@@ -632,6 +632,80 @@ FROM (
 """
 
 
+# -- as-of join ------------------------------------------------------------------
+# The temporal join Spark lacks as a primitive (and DuckDB ships natively —
+# the oracle uses the real ASOF LEFT JOIN): attach to each purchase the
+# most recent view at-or-before it for the same user. The scalable Spark
+# shape is NOT a range/cross join: tag both sides, union them, and take a
+# running `last(ignorenulls)` over a (user_id, ts)-ordered window — one
+# shuffle on user_id, one pass, O(events) state. Views order before
+# purchases at equal ts (the ASOF <= convention); testdata has no
+# (user_id, ts) duplicates, pinned in tests, so ordering is total.
+def q_asof_join_events(spark, sf_dir):
+    ev = T(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_probe"),
+        F.col("event_id").alias("v_id"),
+        F.col("value").alias("v_value"),
+        F.lit(None).cast("long").alias("p_id"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_probe"),
+        F.lit(None).cast("long").alias("v_id"),
+        F.lit(None).cast("double").alias("v_value"),
+        F.col("event_id").alias("p_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_probe")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = (
+        views.unionByName(purchases)
+        .withColumn("last_v_id", F.last("v_id", ignorenulls=True).over(w))
+        .withColumn("last_v_ts", F.last(F.when(F.col("v_id").isNotNull(), F.col("ts")), ignorenulls=True).over(w))
+        .withColumn("last_v_value", F.last("v_value", ignorenulls=True).over(w))
+        .where(F.col("is_probe") == 1)
+    )
+    return joined.select(
+        F.col("p_id").alias("event_id"),
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.coalesce("last_v_id", F.lit(-1)).alias("view_event_id"),
+        F.round(F.coalesce("last_v_value", F.lit(0.0)), 2).alias("view_value"),
+        F.coalesce(
+            # parquet ts is TIMESTAMP_NTZ; the cast-to-instant offsets cancel
+            # in the difference, so the lag is timezone-independent
+            (
+                (
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    - F.unix_micros(F.col("last_v_ts").cast("timestamp"))
+                )
+                / 1000
+            ).cast("long"),
+            F.lit(-1),
+        ).alias("lag_ms"),
+    )
+
+
+SQL_ASOF = """
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       COALESCE(v.event_id, -1) AS view_event_id,
+       ROUND(COALESCE(v.value, 0.0), 2) AS view_value,
+       COALESCE((epoch_us(p.ts) - epoch_us(v.ts)) // 1000, -1) AS lag_ms
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
 RELATIONAL = {
     "wave_select_rank": (q_wave_select_rank, SQL_WAVE),
     "politeness_quota": (q_politeness_quota, SQL_QUOTA),
@@ -653,4 +727,5 @@ RELATIONAL = {
     "cert_chain_arrays": (q_cert_chain_arrays, SQL_CERT),
     "dns_fanout_records": (q_dns_fanout_records, SQL_DNS),
     "smtp_probe": (q_smtp_probe, SQL_SMTP),
+    "asof_join_events": (q_asof_join_events, SQL_ASOF),
 }

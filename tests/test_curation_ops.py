@@ -103,3 +103,39 @@ def test_pii_scrub_counts_and_lengths(spark):
     )
     assert row["n_phones"] == len(re.findall(r"\+1-555-[0-9]{4}", t2))
     assert row["n_ips"] == len(re.findall(r"10\.[0-9]+\.[0-9]+\.[0-9]+", t2))
+
+
+def test_asof_join_matches_python_twin(spark):
+    """q_asof_join_events (union + running-last window) against a pure-Python
+    per-user scan — including the no-prior-view -1 branch and the tie
+    convention (view sorts before purchase at equal ts)."""
+    from monocator_spark.queries.relational import q_asof_join_events
+
+    ev = sorted(
+        T(spark, SF_DIR, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_type"] != "view"),
+    )
+    # testdata invariant the window ordering relies on: no (user, ts) dupes
+    keys = [(r["user_id"], r["ts"]) for r in ev]
+    assert len(keys) == len(set(keys))
+
+    exp = {}
+    last_view = {}
+    for r in ev:
+        if r["event_type"] == "view":
+            last_view[r["user_id"]] = r
+        elif r["event_type"] == "purchase":
+            v = last_view.get(r["user_id"])
+            exp[r["event_id"]] = (
+                v["event_id"] if v else -1,
+                round(v["value"], 2) if v else 0.0,
+                int((r["ts"] - v["ts"]).total_seconds() * 1000) if v else -1,
+            )
+    got = {
+        r["event_id"]: (r["view_event_id"], r["view_value"], r["lag_ms"])
+        for r in q_asof_join_events(spark, SF_DIR).collect()
+    }
+    assert got == exp and len(got) > 0
+    assert any(v[0] == -1 for v in got.values())  # the no-prior branch fires
