@@ -66,6 +66,8 @@ HEADLINE = [
     "vat_scrape_decision",
     "doc_repetition_stats",
     "pii_scrub_stats",
+    "source_curation_rollup",
+    "group_quantiles_exact",
     "image_resize_thumb",
     "image_quality_gate",
     "frame_sample_stub",

@@ -419,11 +419,11 @@ FROM documents
 _SHINGLE_PERSISTED: list = []
 
 
-def _persist_one_slot(df):
-    while _SHINGLE_PERSISTED:
-        _SHINGLE_PERSISTED.pop().unpersist()
+def _persist_one_slot(df, slot: list = _SHINGLE_PERSISTED):
+    while slot:
+        slot.pop().unpersist()
     df = df.persist()
-    _SHINGLE_PERSISTED.append(df)
+    slot.append(df)
     return df
 
 
@@ -1057,6 +1057,206 @@ FROM m
 """
 
 
+# -- source/domain-level curation rollup ----------------------------------------
+# Domain-level filtering is the other half of corpus curation (per-doc rules
+# remove bad documents; per-SOURCE rules remove bad *sites* — link farms,
+# template mills, boilerplate mirrors). Roll every doc-level signal up to its
+# source and emit a keep / sample / drop decision per source. Shape at
+# 100 TB: one map-side-combined aggregate keyed (source, lang) plus one exact
+# text-hash distinct keyed (source, h) — both shrink to O(sources) rows
+# before any join, and the final joins are broadcasts of tiny aggregates; the
+# corpus itself is scanned once and never shuffled at full width.
+_CUR_DROP_DUP = 0.20  # >20% duplicated text → mirror/template mill
+_CUR_DROP_SHORT = 0.15  # >15% near-empty docs → scraper junk
+_CUR_SAMPLE_CHARS = 290.0  # thin average doc → downsample
+_CUR_SAMPLE_EN = 0.35  # low share of the pipeline's target lang → downsample
+
+
+def q_source_curation_rollup(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    base = d.select(
+        "source", "lang", "n_chars", F.expr(_md5long("text")).alias("h")
+    )
+    per_sl = base.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("n_chars").alias("chars"),
+        F.sum(F.when(F.col("n_chars") < 100, 1).otherwise(0)).alias("short"),
+    )
+    src = per_sl.groupBy("source").agg(
+        F.sum("cnt").alias("n_docs"),
+        F.sum("chars").alias("sum_chars"),
+        F.sum("short").alias("n_short"),
+        F.sum(F.when(F.col("lang") == "en", F.col("cnt")).otherwise(0)).alias(
+            "n_en"
+        ),
+        # majority language, ties broken by lang desc — max over (cnt, lang)
+        F.max(F.struct("cnt", "lang"))["lang"].alias("major_lang"),
+    )
+    uniq = base.groupBy("source").agg(F.countDistinct("h").alias("n_unique"))
+    m = (
+        src.join(uniq, "source")
+        .withColumn(
+            "dup_frac", F.round(1 - F.col("n_unique") / F.col("n_docs"), 6)
+        )
+        .withColumn(
+            "short_frac", F.round(F.col("n_short") / F.col("n_docs"), 6)
+        )
+        .withColumn(
+            "mean_chars", F.round(F.col("sum_chars") / F.col("n_docs"), 6)
+        )
+        .withColumn("en_frac", F.round(F.col("n_en") / F.col("n_docs"), 6))
+    )
+    decision = (
+        F.when(
+            (F.col("dup_frac") > _CUR_DROP_DUP)
+            | (F.col("short_frac") > _CUR_DROP_SHORT),
+            F.lit("drop"),
+        )
+        .when(
+            (F.col("mean_chars") < _CUR_SAMPLE_CHARS)
+            | (F.col("en_frac") < _CUR_SAMPLE_EN),
+            F.lit("sample"),
+        )
+        .otherwise(F.lit("keep"))
+    )
+    return m.select(
+        "source", "n_docs", "n_unique", "major_lang", "dup_frac",
+        "short_frac", "mean_chars", "en_frac", decision.alias("decision"),
+    )
+
+
+SQL_CURATION_ROLLUP = f"""
+WITH base AS (
+  SELECT source, lang, n_chars, {_md5long_duck('text')} AS h FROM documents
+),
+per_sl AS (
+  SELECT source, lang, COUNT(*) AS cnt, SUM(n_chars) AS chars,
+         SUM(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS short
+  FROM base GROUP BY 1, 2
+),
+src AS (
+  SELECT source,
+         CAST(SUM(cnt) AS BIGINT) AS n_docs,
+         CAST(SUM(chars) AS BIGINT) AS sum_chars,
+         CAST(SUM(short) AS BIGINT) AS n_short,
+         CAST(SUM(CASE WHEN lang = 'en' THEN cnt ELSE 0 END) AS BIGINT) AS n_en,
+         (max(struct_pack(cnt := cnt, lang := lang))).lang AS major_lang
+  FROM per_sl GROUP BY 1
+),
+uniq AS (
+  SELECT source, CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique
+  FROM base GROUP BY 1
+),
+m AS (
+  SELECT src.source, n_docs, n_unique, major_lang,
+         ROUND(1 - CAST(n_unique AS DOUBLE) / n_docs, 6) AS dup_frac,
+         ROUND(CAST(n_short AS DOUBLE) / n_docs, 6) AS short_frac,
+         ROUND(CAST(sum_chars AS DOUBLE) / n_docs, 6) AS mean_chars,
+         ROUND(CAST(n_en AS DOUBLE) / n_docs, 6) AS en_frac
+  FROM src JOIN uniq ON src.source = uniq.source
+)
+SELECT source, n_docs, n_unique, major_lang, dup_frac, short_frac,
+       mean_chars, en_frac,
+       CASE WHEN dup_frac > {_CUR_DROP_DUP} OR short_frac > {_CUR_DROP_SHORT}
+            THEN 'drop'
+            WHEN mean_chars < {_CUR_SAMPLE_CHARS} OR en_frac < {_CUR_SAMPLE_EN}
+            THEN 'sample'
+            ELSE 'keep' END AS decision
+FROM m
+"""
+
+
+# -- exact per-group quantiles ---------------------------------------------------
+# Exact quantiles the way they stay computable at 100 TB: NEVER collect a
+# group's raw values (Spark's percentile() buffers every value of a group in
+# one aggregator — a 10^10-row group OOMs). Instead aggregate to the VALUE
+# DISTRIBUTION — (group, value) → count, a map-side-combined shuffle that
+# shrinks to O(distinct values) rows — then a windowed cumulative sum over
+# each group's distinct values turns rank lookups into range filters, and
+# linear interpolation between the two bracketing ranks reproduces
+# quantile_cont exactly. p ∈ {.25,.5,.75} and integer values keep every
+# intermediate double exact, so the Spark and DuckDB results are
+# bit-identical with no rounding slack.
+_QUANTILE_PS = (0.25, 0.5, 0.75)
+_QUANTILE_PERSISTED: list = []
+
+
+def q_group_quantiles_exact(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents")
+    # the value-distribution aggregate is consumed by four downstream
+    # branches (cumsum, totals, two rank lookups) — persist it (one-slot,
+    # like the shingle cache) so the corpus is scanned ONCE, not per branch
+    counts = _persist_one_slot(
+        d.groupBy("lang", F.col("n_chars").alias("v")).agg(
+            F.count(F.lit(1)).alias("c")
+        ),
+        _QUANTILE_PERSISTED,
+    )
+    cum = counts.withColumn(
+        "cum", F.sum("c").over(Window.partitionBy("lang").orderBy("v"))
+    )
+    pts = (
+        counts.groupBy("lang")
+        .agg(F.sum("c").alias("n"))
+        .select(
+            "lang",
+            "n",
+            F.explode(
+                F.array(*[F.lit(p) for p in _QUANTILE_PS])
+            ).alias("p"),
+        )
+        .withColumn("pos", (F.col("n") - 1) * F.col("p"))
+        .withColumn("lo", F.floor("pos"))
+        .withColumn("hi", F.ceil("pos"))
+        .withColumn("frac", F.col("pos") - F.col("lo"))
+    )
+
+    def rank_value(rank_col, alias):
+        cc = cum.select(
+            F.col("lang").alias("cl"), "v", "c", "cum"
+        )
+        return (
+            pts.join(
+                cc,
+                (F.col("lang") == F.col("cl"))
+                & (F.col(rank_col) >= F.col("cum") - F.col("c"))
+                & (F.col(rank_col) < F.col("cum")),
+            )
+            .select("lang", "p", F.col("v").alias(alias))
+        )
+
+    q = (
+        pts.join(rank_value("lo", "v_lo"), ["lang", "p"])
+        .join(rank_value("hi", "v_hi"), ["lang", "p"])
+        .withColumn(
+            "q",
+            F.round(
+                F.col("v_lo") + (F.col("v_hi") - F.col("v_lo")) * F.col("frac"),
+                6,
+            ),
+        )
+    )
+    return q.groupBy("lang", "n").agg(
+        *[
+            F.max(F.when(F.col("p") == p, F.col("q"))).alias(
+                f"p{int(p * 100)}"
+            )
+            for p in _QUANTILE_PS
+        ]
+    )
+
+
+SQL_GROUP_QUANTILES = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(quantile_cont(n_chars, 0.25), 6) AS p25,
+       ROUND(quantile_cont(n_chars, 0.50), 6) AS p50,
+       ROUND(quantile_cont(n_chars, 0.75), 6) AS p75
+FROM documents GROUP BY lang
+"""
+
+
 TEXTOPS = {
     "ngram_topk": (q_ngram_topk, SQL_NGRAM_TOPK),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
@@ -1081,4 +1281,6 @@ TEXTOPS = {
     "multimodal_decode_stub": (q_multimodal_decode_stub, SQL_DECODE_STUB),
     "doc_repetition_stats": (q_doc_repetition_stats, SQL_REPETITION),
     "pii_scrub_stats": (q_pii_scrub_stats, SQL_PII_SCRUB),
+    "source_curation_rollup": (q_source_curation_rollup, SQL_CURATION_ROLLUP),
+    "group_quantiles_exact": (q_group_quantiles_exact, SQL_GROUP_QUANTILES),
 }

@@ -139,3 +139,80 @@ def test_asof_join_matches_python_twin(spark):
     }
     assert got == exp and len(got) > 0
     assert any(v[0] == -1 for v in got.values())  # the no-prior branch fires
+
+
+def test_source_curation_rollup_matches_python_twin(spark):
+    import hashlib
+
+    from monocator_spark.queries.textops import (
+        _CUR_DROP_DUP,
+        _CUR_DROP_SHORT,
+        _CUR_SAMPLE_CHARS,
+        _CUR_SAMPLE_EN,
+        q_source_curation_rollup,
+    )
+
+    docs = T(spark, SF_DIR, "documents").select(
+        "source", "lang", "n_chars", "text"
+    ).collect()
+    by_src = {}
+    for r in docs:
+        by_src.setdefault(r["source"], []).append(r)
+    exp = {}
+    for src, rows in by_src.items():
+        n = len(rows)
+        uniq = len({hashlib.md5(r["text"].encode()).hexdigest() for r in rows})
+        langs = Counter(r["lang"] for r in rows)
+        major = max((c, lang) for lang, c in langs.items())[1]
+        dup = round(1 - uniq / n, 6)
+        short = round(sum(r["n_chars"] < 100 for r in rows) / n, 6)
+        mean = round(sum(r["n_chars"] for r in rows) / n, 6)
+        en = round(langs.get("en", 0) / n, 6)
+        if dup > _CUR_DROP_DUP or short > _CUR_DROP_SHORT:
+            dec = "drop"
+        elif mean < _CUR_SAMPLE_CHARS or en < _CUR_SAMPLE_EN:
+            dec = "sample"
+        else:
+            dec = "keep"
+        exp[src] = (n, uniq, major, dup, short, mean, en, dec)
+    got = {
+        r["source"]: (
+            r["n_docs"], r["n_unique"], r["major_lang"], r["dup_frac"],
+            r["short_frac"], r["mean_chars"], r["en_frac"], r["decision"],
+        )
+        for r in q_source_curation_rollup(spark, SF_DIR).collect()
+    }
+    assert got == exp and len(got) > 1
+    assert len({v[-1] for v in got.values()}) > 1  # more than one decision fires
+
+
+def test_group_quantiles_exact_matches_interpolation_twin(spark):
+    from monocator_spark.queries.textops import (
+        _QUANTILE_PS,
+        q_group_quantiles_exact,
+    )
+
+    docs = T(spark, SF_DIR, "documents").select("lang", "n_chars").collect()
+    by_lang = {}
+    for r in docs:
+        by_lang.setdefault(r["lang"], []).append(r["n_chars"])
+    exp = {}
+    for lang, vs in by_lang.items():
+        vs.sort()
+        qs = []
+        for p in _QUANTILE_PS:
+            pos = (len(vs) - 1) * p
+            lo, frac = int(pos), pos - int(pos)
+            hi = lo + (1 if frac else 0)
+            qs.append(round(vs[lo] + (vs[hi] - vs[lo]) * frac, 6))
+        exp[lang] = (len(vs), *qs)
+    got = {
+        r["lang"]: (r["n"], r["p25"], r["p50"], r["p75"])
+        for r in q_group_quantiles_exact(spark, SF_DIR).collect()
+    }
+    assert got == exp and len(got) > 1
+    # interpolation actually fires somewhere (a fractional rank between two
+    # distinct values), so the test would catch a floor-only implementation
+    assert any(
+        q != int(q) for v in got.values() for q in v[1:]
+    )
