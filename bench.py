@@ -68,6 +68,7 @@ HEADLINE = [
     "pii_scrub_stats",
     "source_curation_rollup",
     "group_quantiles_exact",
+    "winsorized_stats_group",
     "image_resize_thumb",
     "image_quality_gate",
     "frame_sample_stub",

@@ -1181,19 +1181,26 @@ _QUANTILE_PS = (0.25, 0.5, 0.75)
 _QUANTILE_PERSISTED: list = []
 
 
-def q_group_quantiles_exact(spark, sf_dir):
-    from pyspark.sql import Window
-
+def _value_distribution(spark, sf_dir):
+    """(lang, value) → count over documents.n_chars, persisted one-slot so
+    every downstream branch reads the cache and the corpus scans ONCE."""
     d = T(spark, sf_dir, "documents")
-    # the value-distribution aggregate is consumed by four downstream
-    # branches (cumsum, totals, two rank lookups) — persist it (one-slot,
-    # like the shingle cache) so the corpus is scanned ONCE, not per branch
-    counts = _persist_one_slot(
+    return _persist_one_slot(
         d.groupBy("lang", F.col("n_chars").alias("v")).agg(
             F.count(F.lit(1)).alias("c")
         ),
         _QUANTILE_PERSISTED,
     )
+
+
+def _group_quantiles(counts, ps):
+    """Exact quantiles from a (lang, v, c) distribution: windowed cumsum
+    turns rank lookups into range filters on the per-group distinct values,
+    linear interpolation between the bracketing ranks ≡ quantile_cont.
+    Returns (lang, n, p, q) — every join input is an O(distinct values)
+    aggregate, so the joins broadcast."""
+    from pyspark.sql import Window
+
     cum = counts.withColumn(
         "cum", F.sum("c").over(Window.partitionBy("lang").orderBy("v"))
     )
@@ -1203,9 +1210,7 @@ def q_group_quantiles_exact(spark, sf_dir):
         .select(
             "lang",
             "n",
-            F.explode(
-                F.array(*[F.lit(p) for p in _QUANTILE_PS])
-            ).alias("p"),
+            F.explode(F.array(*[F.lit(p) for p in ps])).alias("p"),
         )
         .withColumn("pos", (F.col("n") - 1) * F.col("p"))
         .withColumn("lo", F.floor("pos"))
@@ -1214,33 +1219,34 @@ def q_group_quantiles_exact(spark, sf_dir):
     )
 
     def rank_value(rank_col, alias):
-        cc = cum.select(
-            F.col("lang").alias("cl"), "v", "c", "cum"
-        )
-        return (
-            pts.join(
-                cc,
-                (F.col("lang") == F.col("cl"))
-                & (F.col(rank_col) >= F.col("cum") - F.col("c"))
-                & (F.col(rank_col) < F.col("cum")),
-            )
-            .select("lang", "p", F.col("v").alias(alias))
-        )
+        cc = cum.select(F.col("lang").alias("cl"), "v", "c", "cum")
+        return pts.join(
+            cc,
+            (F.col("lang") == F.col("cl"))
+            & (F.col(rank_col) >= F.col("cum") - F.col("c"))
+            & (F.col(rank_col) < F.col("cum")),
+        ).select("lang", "p", F.col("v").alias(alias))
 
-    q = (
+    return (
         pts.join(rank_value("lo", "v_lo"), ["lang", "p"])
         .join(rank_value("hi", "v_hi"), ["lang", "p"])
-        .withColumn(
-            "q",
-            F.round(
-                F.col("v_lo") + (F.col("v_hi") - F.col("v_lo")) * F.col("frac"),
-                6,
-            ),
+        .select(
+            "lang",
+            "n",
+            "p",
+            (
+                F.col("v_lo") + (F.col("v_hi") - F.col("v_lo")) * F.col("frac")
+            ).alias("q"),
         )
     )
+
+
+def q_group_quantiles_exact(spark, sf_dir):
+    counts = _value_distribution(spark, sf_dir)
+    q = _group_quantiles(counts, _QUANTILE_PS)
     return q.groupBy("lang", "n").agg(
         *[
-            F.max(F.when(F.col("p") == p, F.col("q"))).alias(
+            F.max(F.when(F.col("p") == p, F.round(F.col("q"), 6))).alias(
                 f"p{int(p * 100)}"
             )
             for p in _QUANTILE_PS
@@ -1254,6 +1260,61 @@ SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
        ROUND(quantile_cont(n_chars, 0.50), 6) AS p50,
        ROUND(quantile_cont(n_chars, 0.75), 6) AS p75
 FROM documents GROUP BY lang
+"""
+
+
+# -- winsorized per-group stats --------------------------------------------------
+# Outlier-robust curation statistics: the classic 25%-winsorized mean — clamp
+# each group's values to [p25, p75] and report the winsorized mean plus how
+# many rows each quartile clipped. Everything downstream of the one
+# distribution aggregate is computed ON the distribution — the winsorized sum
+# is Σ c·clamp(v) over distinct values, so the corpus is scanned once and
+# nothing wide ever shuffles. Exactness: the quartiles are
+# quarter-interpolations of integers (exact quarters in binary), clamp keeps
+# values exact multiples of 1/4, and the running sums stay far below 2^53, so
+# Spark's and DuckDB's different summation orders produce the SAME double.
+def q_winsorized_stats_group(spark, sf_dir):
+    counts = _value_distribution(spark, sf_dir)
+    q = _group_quantiles(counts, (0.25, 0.75))
+    fences = q.groupBy("lang", "n").agg(
+        F.max(F.when(F.col("p") == 0.25, F.col("q"))).alias("p25"),
+        F.max(F.when(F.col("p") == 0.75, F.col("q"))).alias("p75"),
+    )
+    clamped = counts.join(fences, "lang").withColumn(
+        "cv", F.greatest("p25", F.least("p75", F.col("v").cast("double")))
+    )
+    return clamped.groupBy("lang").agg(
+        F.max("n").alias("n"),
+        F.round(F.max("p25"), 6).alias("p25"),
+        F.round(F.max("p75"), 6).alias("p75"),
+        F.round(F.sum(F.col("c") * F.col("cv")) / F.max("n"), 6).alias("w_mean"),
+        F.sum(F.when(F.col("v") < F.col("p25"), F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("n_clip_lo"),
+        F.sum(F.when(F.col("v") > F.col("p75"), F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("n_clip_hi"),
+    )
+
+
+SQL_WINSORIZED = """
+WITH q AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+         quantile_cont(n_chars, 0.25) AS p25,
+         quantile_cont(n_chars, 0.75) AS p75
+  FROM documents GROUP BY lang
+)
+SELECT d.lang, MAX(q.n) AS n,
+       ROUND(MAX(p25), 6) AS p25,
+       ROUND(MAX(p75), 6) AS p75,
+       ROUND(SUM(GREATEST(p25, LEAST(p75, CAST(n_chars AS DOUBLE))))
+             / MAX(q.n), 6) AS w_mean,
+       CAST(SUM(CASE WHEN n_chars < p25 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clip_lo,
+       CAST(SUM(CASE WHEN n_chars > p75 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clip_hi
+FROM documents d JOIN q ON d.lang = q.lang
+GROUP BY d.lang
 """
 
 
@@ -1283,4 +1344,5 @@ TEXTOPS = {
     "pii_scrub_stats": (q_pii_scrub_stats, SQL_PII_SCRUB),
     "source_curation_rollup": (q_source_curation_rollup, SQL_CURATION_ROLLUP),
     "group_quantiles_exact": (q_group_quantiles_exact, SQL_GROUP_QUANTILES),
+    "winsorized_stats_group": (q_winsorized_stats_group, SQL_WINSORIZED),
 }

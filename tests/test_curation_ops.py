@@ -216,3 +216,41 @@ def test_group_quantiles_exact_matches_interpolation_twin(spark):
     assert any(
         q != int(q) for v in got.values() for q in v[1:]
     )
+
+
+def test_winsorized_stats_match_python_twin(spark):
+    from monocator_spark.queries.textops import q_winsorized_stats_group
+
+    docs = T(spark, SF_DIR, "documents").select("lang", "n_chars").collect()
+    by_lang = {}
+    for r in docs:
+        by_lang.setdefault(r["lang"], []).append(r["n_chars"])
+
+    def quantile(vs, p):
+        pos = (len(vs) - 1) * p
+        lo, frac = int(pos), pos - int(pos)
+        hi = lo + (1 if frac else 0)
+        return vs[lo] + (vs[hi] - vs[lo]) * frac
+
+    exp = {}
+    for lang, vs in by_lang.items():
+        vs.sort()
+        p25, p75 = quantile(vs, 0.25), quantile(vs, 0.75)
+        cl = [max(p25, min(p75, v)) for v in vs]
+        exp[lang] = (
+            len(vs),
+            round(p25, 6),
+            round(p75, 6),
+            round(sum(cl) / len(vs), 6),
+            sum(v < p25 for v in vs),
+            sum(v > p75 for v in vs),
+        )
+    got = {
+        r["lang"]: (
+            r["n"], r["p25"], r["p75"], r["w_mean"],
+            r["n_clip_lo"], r["n_clip_hi"],
+        )
+        for r in q_winsorized_stats_group(spark, SF_DIR).collect()
+    }
+    assert got == exp and len(got) > 1
+    assert any(v[4] + v[5] > 0 for v in got.values())  # clipping fires
