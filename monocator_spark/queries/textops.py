@@ -1318,6 +1318,241 @@ GROUP BY d.lang
 """
 
 
+# -- benchmark contamination check ----------------------------------------------
+# Decontamination is a mandatory pass before any corpus ships as training
+# data (GPT-3 App. C / PaLM / Llama all document it): flag every training
+# document that shares a word n-gram with the evaluation/benchmark set. The
+# "benchmark" here is synthesized deterministically from the corpus itself
+# (docs with doc_id % 97 == 0 play the eval set — no external data per
+# brief); the n-gram machinery is the real thing, reusing the 5-word
+# shingles the near-dup family is built on.
+#
+# Shape at 100 TB: the benchmark n-gram set is O(eval suite) — thousands of
+# benchmarks × kilobyte-scale items — always broadcastable; the corpus side
+# explodes shingles scan-locally and the ONLY shuffle is the per-doc count
+# (doc_id in the key — uniform, map-side combined). The corpus text itself
+# never shuffles, so this is one linear pass regardless of corpus size.
+
+
+def q_contamination_ngram(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.expr(_SHINGLE_SPARK).alias("sh"))
+    bench = (
+        sh.where(F.col("doc_id") % 97 == 0)
+        .select("sh")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    marked = sh.join(F.broadcast(bench), "sh", "left")
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hit"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_ngrams"), 6).alias("contam_frac"),
+            (F.col("doc_id") % 97 == 0).alias("is_eval"),
+            ((F.col("n_hit") > 0) & (F.col("doc_id") % 97 != 0)).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+SQL_CONTAMINATION = f"""
+WITH sh AS ({_SHINGLE_DUCK}),
+bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0)
+SELECT sh.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+       CAST(SUM(CASE WHEN bench.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hit,
+       ROUND(CAST(SUM(CASE WHEN bench.sh IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS contam_frac,
+       (sh.doc_id % 97 = 0) AS is_eval,
+       (SUM(CASE WHEN bench.sh IS NOT NULL THEN 1 ELSE 0 END) > 0
+        AND sh.doc_id % 97 <> 0) AS contaminated
+FROM sh LEFT JOIN bench ON sh.sh = bench.sh
+GROUP BY sh.doc_id
+"""
+
+
+# -- HTML → text extraction ------------------------------------------------------
+# The first transform every web-crawl corpus applies (C4/CCNet/RefinedWeb):
+# strip markup, drop script blocks, extract the title, collapse whitespace.
+# The testdata text carries no markup, so the HTML wrapper is planted
+# deterministically from doc_id on BOTH engines (same trick as the PII op) —
+# the extraction itself is each engine's real regex machinery (Java regex vs
+# RE2), pinned span-for-span including the non-greedy script-block match.
+# Scan-local codegen projection, zero shuffles: at 100 TB this rides the
+# corpus scan.
+_HTML_SPARK = (
+    "concat('<html><head><title>Doc ', cast(doc_id as string),"
+    " '</title><script>var x=', cast(doc_id % 13 as string),"
+    " ';</script></head><body><nav>home | about | search</nav><p>',"
+    " text, '</p>',"
+    " case when doc_id % 4 = 0 then concat('<div class=\"ad\">buy now ',"
+    "   cast(doc_id % 11 as string), '</div>') else '' end,"
+    " '<footer>(c) site ', cast(doc_id % 50 as string),"
+    " '</footer></body></html>')"
+)
+_HTML_DUCK = (
+    "'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)"
+    " || '</title><script>var x=' || CAST(doc_id % 13 AS VARCHAR)"
+    " || ';</script></head><body><nav>home | about | search</nav><p>'"
+    " || text || '</p>'"
+    " || CASE WHEN doc_id % 4 = 0 THEN '<div class=\"ad\">buy now '"
+    "      || CAST(doc_id % 11 AS VARCHAR) || '</div>' ELSE '' END"
+    " || '<footer>(c) site ' || CAST(doc_id % 50 AS VARCHAR)"
+    " || '</footer></body></html>'"
+)
+_RE_SCRIPT = r"<script>.*?</script>"
+_RE_TAG = r"<[^>]*>"
+_RE_TITLE = r"<title>([^<]*)</title>"
+
+
+def q_html_text_extract(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_HTML_SPARK).alias("html")
+    )
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("html"), F.lit(_RE_SCRIPT), F.lit(" ")),
+                F.lit(_RE_TAG),
+                F.lit(" "),
+            ),
+            F.lit(" +"),
+            F.lit(" "),
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_extract("html", _RE_TITLE, 1).alias("title"),
+        F.length("html").cast("long").alias("html_len"),
+        F.length(clean).cast("long").alias("clean_len"),
+        F.regexp_count("html", F.lit(_RE_TAG)).cast("long").alias("n_tags"),
+        F.expr(_md5long(
+            "trim(regexp_replace(regexp_replace(regexp_replace(html,"
+            " '<script>.*?</script>', ' '), '<[^>]*>', ' '), ' +', ' '))"
+        )).alias("clean_fp"),
+    )
+
+
+SQL_HTML_EXTRACT = f"""
+WITH h AS (SELECT doc_id, {_HTML_DUCK} AS html FROM documents),
+c AS (
+  SELECT doc_id, html,
+         trim(regexp_replace(regexp_replace(regexp_replace(
+           html, '<script>.*?</script>', ' ', 'g'),
+           '<[^>]*>', ' ', 'g'), ' +', ' ', 'g')) AS clean
+  FROM h
+)
+SELECT doc_id,
+       regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+       CAST(length(html) AS BIGINT) AS html_len,
+       CAST(length(clean) AS BIGINT) AS clean_len,
+       CAST(len(regexp_extract_all(html, '<[^>]*>')) AS BIGINT) AS n_tags,
+       {_md5long_duck('clean')} AS clean_fp
+FROM c
+"""
+
+
+# -- paragraph-level exact dedup --------------------------------------------------
+# RefinedWeb/CCNet dedup at sub-document granularity: boilerplate paragraphs
+# (nav bars, cookie banners, license blurbs) repeat across millions of pages
+# and survive document-level dedup. Split each doc into paragraphs (fixed
+# 16-token blocks here — the testdata carries no newlines), hash each, keep
+# the corpus-wide FIRST occurrence of every hash, and report per-doc how
+# much of the document is someone else's paragraph.
+#
+# Shape at 100 TB: paragraphs explode scan-locally; the one wide shuffle is
+# keyed by the 60-bit content hash — uniform by construction, no skew, and
+# the per-hash state is a single min() (map-side combined). The per-doc
+# rollup re-keys by doc_id (uniform). Nothing is ever all-pairs and the full
+# text never shuffles — only (hash, okey) longs.
+_PARA_W = 16  # tokens per paragraph block
+
+
+def q_paragraph_dedup_stats(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents")
+    paras = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size({_WS}) / {_PARA_W}.0)"
+                f" as int) - 1),"
+                f" j -> array_join(slice({_WS}, j * {_PARA_W} + 1, {_PARA_W}),"
+                f" ' '))"
+            )
+        ).alias("para_idx", "para"),
+    ).select(
+        "doc_id",
+        "para_idx",
+        F.expr(_md5long("para")).alias("h"),
+        (F.col("doc_id") * 1000 + F.col("para_idx")).alias("okey"),
+    )
+    w = Window.partitionBy("h")
+    flagged = paras.withColumn(
+        "is_dup", F.col("okey") > F.min("okey").over(w)
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.col("is_dup").cast("long")).alias("n_dup_paras"),
+        )
+        .select(
+            "doc_id",
+            "n_paras",
+            "n_dup_paras",
+            F.round(F.col("n_dup_paras") / F.col("n_paras"), 6).alias("dup_frac"),
+            (F.col("n_dup_paras") * 2 <= F.col("n_paras")).alias("keep"),
+        )
+    )
+
+
+SQL_PARA_DEDUP = f"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ws
+  FROM documents
+),
+p AS (
+  SELECT doc_id,
+         unnest(range(0, CAST(ceil(len(ws) / {_PARA_W}.0) AS BIGINT))) AS j,
+         ws
+  FROM w
+),
+paras AS (
+  SELECT doc_id, j AS para_idx,
+         array_to_string(ws[CAST(j * {_PARA_W} + 1 AS INT)
+                          : CAST(j * {_PARA_W} + {_PARA_W} AS INT)], ' ')
+           AS para,
+         doc_id * 1000 + j AS okey
+  FROM p
+),
+h AS (
+  SELECT doc_id, okey, {_md5long_duck('para')} AS h FROM paras
+),
+f AS (
+  SELECT doc_id, (okey > MIN(okey) OVER (PARTITION BY h)) AS is_dup FROM h
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_paras,
+       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_paras,
+       ROUND(CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS dup_frac,
+       (SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) * 2 <= COUNT(*)) AS keep
+FROM f
+GROUP BY doc_id
+"""
+
+
 TEXTOPS = {
     "ngram_topk": (q_ngram_topk, SQL_NGRAM_TOPK),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
@@ -1345,4 +1580,7 @@ TEXTOPS = {
     "source_curation_rollup": (q_source_curation_rollup, SQL_CURATION_ROLLUP),
     "group_quantiles_exact": (q_group_quantiles_exact, SQL_GROUP_QUANTILES),
     "winsorized_stats_group": (q_winsorized_stats_group, SQL_WINSORIZED),
+    "contamination_ngram": (q_contamination_ngram, SQL_CONTAMINATION),
+    "html_text_extract": (q_html_text_extract, SQL_HTML_EXTRACT),
+    "paragraph_dedup_stats": (q_paragraph_dedup_stats, SQL_PARA_DEDUP),
 }
