@@ -69,6 +69,10 @@ HEADLINE = [
     "source_curation_rollup",
     "group_quantiles_exact",
     "winsorized_stats_group",
+    "contamination_ngram",
+    "html_text_extract",
+    "paragraph_dedup_stats",
+    "kmeans_iter_assign",
     "image_resize_thumb",
     "image_quality_gate",
     "frame_sample_stub",

@@ -389,10 +389,158 @@ WHERE {cos} >= {_ND_TAU}
 """
 
 
+# -- distributed k-means (one full Lloyd iteration) ------------------------------
+# Embedding-space clustering is the backbone of semantic curation (SemDeDup
+# clusters, then prunes within each cell; cluster-balanced sampling needs the
+# same assignment). One full Lloyd iteration, end to end: seed → assign →
+# recompute centroids → reassign, reporting which vectors changed cells.
+#
+# Cross-engine exactness: floats never accumulate. Coordinates are quantized
+# once to integers (floor(x·1000) — floor of an identically-computed double
+# is deterministic), distances are exact integer sums of squares, and the
+# updated centroid is floor(sum/count) per dimension — the one double
+# division both engines compute identically from exact-integer operands.
+# (Exact while per-cell coordinate sums stay under 2^53 — at 10^10 rows use
+# avg() and accept last-ulp risk, or widen to decimal.)
+#
+# Shape at 100 TB: the classic distributed k-means step — k centroids
+# broadcast against a linear corpus scan (assignment), per-(cell, dim)
+# partial-aggregated sums that shrink to k×dim rows before the driver-free
+# array re-assembly (sort_array ∘ collect_list, the same idiom as the TLS
+# map column), then a second broadcast assignment. The corpus shuffles only
+# as (cell, dim, value) triples — never full vectors, never all-pairs.
+_KM_Q = 1000  # fixed-point scale
+
+
+def _quant_spark(col: str) -> str:
+    return (
+        f"transform({col}, x -> cast(floor(cast(x as double) * {_KM_Q})"
+        " as bigint))"
+    )
+
+
+def _quant_duck(col: str) -> str:
+    return (
+        f"list_transform({col}, x -> CAST(floor(CAST(x AS DOUBLE) * {_KM_Q})"
+        " AS BIGINT))"
+    )
+
+
+_SQDIST = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+    " cast(0 as bigint), (acc, v) -> acc + v)"
+)
+
+
+def q_kmeans_iter_assign(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_quant_spark("embedding")).alias("qe")
+    )
+    cents0 = e.where(F.col("vec_id") % 64 == 3).select(
+        F.col("vec_id").alias("cent_id"), F.col("qe").alias("ce")
+    )
+
+    def _assign(cents, out):
+        scored = e.crossJoin(F.broadcast(cents)).withColumn(
+            "d", F.expr(_SQDIST.format(a="qe", b="ce"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cent_id"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "qe", F.col("cent_id").alias(out),
+                    F.col("d").alias(f"d_{out}"))
+        )
+
+    a0 = _assign(cents0, "cell0")
+    sums = (
+        a0.select("cell0", F.posexplode("qe").alias("dim", "v"))
+        .groupBy("cell0", "dim")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    cents1 = (
+        sums.withColumn(
+            "cv",
+            F.floor(F.col("s") / F.col("n").cast("double")).cast("bigint"),
+        )
+        .groupBy("cell0")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(dim, cv))),"
+                " p -> p.cv)"
+            ).alias("ce")
+        )
+        .select(F.col("cell0").alias("cent_id"), "ce")
+    )
+    a1 = _assign(cents1, "cell1").select("vec_id", "cell1", "d_cell1")
+    return (
+        a0.select("vec_id", "cell0")
+        .join(a1, "vec_id")
+        .select(
+            "vec_id",
+            "cell0",
+            "cell1",
+            (F.col("cell0") != F.col("cell1")).alias("moved"),
+            F.col("d_cell1").alias("d1"),
+        )
+    )
+
+
+def _sql_kmeans() -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, {_quant_duck('embedding')} AS qe FROM embeddings
+),
+cents0 AS (
+  SELECT vec_id AS cent_id, qe AS ce FROM e WHERE vec_id % 64 = 3
+),
+a0 AS (
+  SELECT vec_id, qe, cent_id AS cell0 FROM (
+    SELECT e.vec_id, e.qe, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             list_sum(list_transform(range(1, len(e.qe) + 1),
+               i -> (e.qe[CAST(i AS INT)] - c.ce[CAST(i AS INT)])
+                    * (e.qe[CAST(i AS INT)] - c.ce[CAST(i AS INT)]))),
+             c.cent_id) AS rn
+    FROM e CROSS JOIN cents0 c) t
+  WHERE rn = 1
+),
+sums AS (
+  SELECT cell0, i AS dim, SUM(qe[CAST(i AS INT)]) AS s, COUNT(*) AS n
+  FROM a0, range(1, 65) r(i)
+  GROUP BY cell0, i
+),
+cents1 AS (
+  SELECT cell0 AS cent_id,
+         list(CAST(floor(s / CAST(n AS DOUBLE)) AS BIGINT) ORDER BY dim) AS ce
+  FROM sums GROUP BY cell0
+),
+a1 AS (
+  SELECT vec_id, cent_id AS cell1, d AS d1 FROM (
+    SELECT e.vec_id, c.cent_id,
+           list_sum(list_transform(range(1, len(e.qe) + 1),
+             i -> (e.qe[CAST(i AS INT)] - c.ce[CAST(i AS INT)])
+                  * (e.qe[CAST(i AS INT)] - c.ce[CAST(i AS INT)]))) AS d,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             list_sum(list_transform(range(1, len(e.qe) + 1),
+               i -> (e.qe[CAST(i AS INT)] - c.ce[CAST(i AS INT)])
+                    * (e.qe[CAST(i AS INT)] - c.ce[CAST(i AS INT)]))),
+             c.cent_id) AS rn
+    FROM e CROSS JOIN cents1 c) t
+  WHERE rn = 1
+)
+SELECT a0.vec_id, a0.cell0, a1.cell1,
+       (a0.cell0 <> a1.cell1) AS moved,
+       CAST(a1.d1 AS BIGINT) AS d1
+FROM a0 JOIN a1 ON a0.vec_id = a1.vec_id
+"""
+
+
 SIMILARITY = {
     "embedding_cosine_topk": (q_cosine_topk, SQL_TOPK_COS),
     "ann_ivf_bucketed": (q_ann_bucketed, SQL_ANN_BUCKET),
     "ann_lsh_bucketed": (q_ann_lsh_bucketed, _sql_ann_lsh()),
     "semantic_dedup_twostage": (q_semantic_dedup, _sql_semantic_dedup()),
     "embedding_neardup_pairs": (q_embedding_neardup_pairs, _sql_neardup()),
+    "kmeans_iter_assign": (q_kmeans_iter_assign, _sql_kmeans()),
 }
