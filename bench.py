@@ -72,7 +72,10 @@ HEADLINE = [
     "contamination_ngram",
     "html_text_extract",
     "paragraph_dedup_stats",
+    "dedup_keep_best",
+    "perplexity_bucket",
     "kmeans_iter_assign",
+    "semdedup_cluster_prune",
     "image_resize_thumb",
     "image_quality_gate",
     "frame_sample_stub",

@@ -536,6 +536,99 @@ FROM a0 JOIN a1 ON a0.vec_id = a1.vec_id
 """
 
 
+# -- SemDeDup: cluster-then-prune semantic dedup --------------------------------
+# The full SemDeDup recipe (Abbas et al. 2023, the standard semantic-curation
+# pass): cluster the corpus in embedding space, then WITHIN each cluster drop
+# every vector that is τ-similar to an already-kept one. Pairwise work only
+# ever happens inside a cluster — the cluster id is the shuffle key, no
+# all-pairs stage anywhere, which is the entire reason the recipe survives
+# 100 TB. Keep rule: lowest vec_id wins (deterministic "keep first"; the
+# paper's keep-farthest-from-centroid is a different argmin over the same
+# within-cluster pair set). The real embeddings table has no near-dup
+# structure, so — exactly like embedding_neardup_pairs above — both engines
+# synthesize the same planted-cluster vectors from vec_id (50 clusters,
+# intra-cluster cos ≈ 0.9975, inter-cluster sub-0.9), making the prune set
+# non-trivial at every SF.
+#
+# Shape at 100 TB: centroid assignment = broadcast k × linear corpus scan;
+# the within-cell self-join shuffles the corpus ONCE on the cell id; the
+# pair stage is Σ|cell|² — bounded by the clustering, never n². The
+# assignment branch is computed once per join side (two linear passes);
+# a production pipeline would checkpoint the assignment table between the
+# two stages (the kmeans_iter_assign op above is that producer).
+
+
+def q_semdedup_cluster_prune(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_VEC_SPARK).alias("emb")
+    )
+    cents = e.where(F.col("vec_id") % 64 == 3).select(
+        F.col("vec_id").alias("cent_id"), F.col("emb").alias("c_emb")
+    )
+    scored = e.crossJoin(F.broadcast(cents)).withColumn(
+        "cs", F.expr(_cos_expr("emb", "c_emb"))
+    )
+    wc = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cent_id"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(wc))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "emb", F.col("cent_id").alias("cell"))
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("va"), F.col("emb").alias("ea"),
+        F.col("cell").alias("ca"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vb"), F.col("emb").alias("eb"), "cell"
+    )
+    prunes = (
+        a.join(b, (F.col("ca") == F.col("cell")) & (F.col("va") < F.col("vb")))
+        .withColumn("cs", F.expr(_cos_expr("ea", "eb")))
+        .where(F.col("cs") >= _ND_TAU)
+        .groupBy("vb")
+        .agg(F.min("va").alias("pruned_by"))
+    )
+    return (
+        assigned.join(prunes, assigned.vec_id == prunes.vb, "left")
+        .select(
+            "vec_id",
+            "cell",
+            "pruned_by",
+            F.col("pruned_by").isNull().alias("kept"),
+        )
+    )
+
+
+def _sql_semdedup() -> str:
+    cos_vc = _cos_duck("v.emb", "c.c_emb")
+    cos_ab = _cos_duck("a.emb", "b.emb")
+    return f"""
+WITH v AS (
+  SELECT vec_id, {_VEC_DUCK} AS emb FROM embeddings
+),
+c AS (
+  SELECT vec_id AS cent_id, emb AS c_emb FROM v WHERE vec_id % 64 = 3
+),
+assigned AS (
+  SELECT vec_id, emb, cent_id AS cell FROM (
+    SELECT v.vec_id, v.emb, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+             ORDER BY {cos_vc} DESC, c.cent_id) AS rn
+    FROM v CROSS JOIN c) t
+  WHERE rn = 1
+),
+prunes AS (
+  SELECT b.vec_id AS vb, MIN(a.vec_id) AS pruned_by
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {cos_ab} >= {_ND_TAU}
+  GROUP BY b.vec_id
+)
+SELECT s.vec_id, s.cell, p.pruned_by, (p.pruned_by IS NULL) AS kept
+FROM assigned s LEFT JOIN prunes p ON s.vec_id = p.vb
+"""
+
+
 SIMILARITY = {
     "embedding_cosine_topk": (q_cosine_topk, SQL_TOPK_COS),
     "ann_ivf_bucketed": (q_ann_bucketed, SQL_ANN_BUCKET),
@@ -543,4 +636,5 @@ SIMILARITY = {
     "semantic_dedup_twostage": (q_semantic_dedup, _sql_semantic_dedup()),
     "embedding_neardup_pairs": (q_embedding_neardup_pairs, _sql_neardup()),
     "kmeans_iter_assign": (q_kmeans_iter_assign, _sql_kmeans()),
+    "semdedup_cluster_prune": (q_semdedup_cluster_prune, _sql_semdedup()),
 }

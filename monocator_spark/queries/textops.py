@@ -1553,6 +1553,98 @@ GROUP BY doc_id
 """
 
 
+# -- keep-best dedup: quality-aware representative selection ---------------------
+# Production near-dup dedup rarely keeps "lowest id" — it keeps the BEST
+# member of each duplicate cluster (longest, highest quality score) and
+# drops the rest. Compose the two existing primitives: the minhash LSH
+# group mapping (O(docs) output) joined with a per-doc quality signal
+# (n_tokens — the same whitespace tokenizer every textop shares), then one
+# window over the group key picks argmax(n_tokens, tiebreak lowest doc_id).
+# Shape at 100 TB: the group mapping and the quality column are both linear
+# scans; the only shuffle is the window over rep_id — duplicate-cluster
+# sized partitions, bounded by the LSH clustering, never n².
+def q_dedup_keep_best(spark, sf_dir):
+    from pyspark.sql import Window
+
+    groups = q_minhash_dedup_groups(spark, sf_dir).select("doc_id", "rep_id")
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_NTOK).cast("long").alias("n_tokens")
+    )
+    g = groups.join(d, "doc_id")
+    w = Window.partitionBy("rep_id").orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+    return (
+        g.withColumn("rnk", F.row_number().over(w))
+        .select(
+            "doc_id", "rep_id", "n_tokens", (F.col("rnk") == 1).alias("keep")
+        )
+    )
+
+
+SQL_KEEP_BEST = f"""
+SELECT g.doc_id, g.rep_id, q.n_tokens,
+       (ROW_NUMBER() OVER (PARTITION BY g.rep_id
+          ORDER BY q.n_tokens DESC, g.doc_id) = 1) AS keep
+FROM ({SQL_DEDUP_GROUPS}) g
+JOIN (SELECT doc_id,
+             CAST((length(text) - length(replace(text, ' ', ''))) + 1
+                  AS BIGINT) AS n_tokens
+      FROM documents) q ON q.doc_id = g.doc_id
+"""
+
+
+# -- CCNet-style perplexity bucketing ---------------------------------------------
+# CCNet's curation move: score every document with a language model, then
+# split each language's distribution into head / middle / tail terciles and
+# train preferentially on the head. No LM exists in this container, so the
+# per-token surprisal is a deterministic md5 surrogate (hash(token) % 1000
+# — uniform, identical on both engines); the PIPELINE is the real thing:
+# one linear scoring pass (aggregate HOF over the doc's tokens, zero
+# explodes/shuffles), then NTILE(3) per language ordered by (score,
+# doc_id). Shape at 100 TB: scoring is scan-local; the tercile window
+# shuffles once on lang — with few languages and many rows a production
+# run would swap NTILE for the approx-quantile cut of group_quantiles_exact
+# (same output contract, no per-lang total order).
+def q_perplexity_bucket(spark, sf_dir):
+    # score in exact integer micro-units (floor(mean_surprisal · 10^3)):
+    # the sum and the integer division are exact on both engines, so no
+    # float rounding mode can ever flip a tercile boundary
+    toks = "filter(split(text, ' '), t -> t <> '')"
+    score = (
+        f"(aggregate({toks}, cast(0 as bigint),"
+        f" (acc, t) -> acc + {_md5long('t')} % 1000) * cast(1000 as bigint))"
+        f" div cast(size({toks}) as bigint)"
+    )
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.expr(score).alias("ppl_proxy")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.asc("ppl_proxy"), F.asc("doc_id"))
+    return d.withColumn(
+        "bucket",
+        F.when(F.ntile(3).over(w) == 1, F.lit("head"))
+        .when(F.ntile(3).over(w) == 2, F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )
+
+
+SQL_PPL_BUCKET = f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         CAST(list_sum(list_transform(
+                list_filter(string_split(text, ' '), t -> t <> ''),
+                t -> {_md5long_duck('t')} % 1000)) * 1000 AS BIGINT)
+         // CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+                 AS BIGINT) AS ppl_proxy
+  FROM documents
+)
+SELECT doc_id, lang, ppl_proxy,
+       CASE NTILE(3) OVER (PARTITION BY lang ORDER BY ppl_proxy, doc_id)
+         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM s
+"""
+
+
 TEXTOPS = {
     "ngram_topk": (q_ngram_topk, SQL_NGRAM_TOPK),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
@@ -1583,4 +1675,6 @@ TEXTOPS = {
     "contamination_ngram": (q_contamination_ngram, SQL_CONTAMINATION),
     "html_text_extract": (q_html_text_extract, SQL_HTML_EXTRACT),
     "paragraph_dedup_stats": (q_paragraph_dedup_stats, SQL_PARA_DEDUP),
+    "dedup_keep_best": (q_dedup_keep_best, SQL_KEEP_BEST),
+    "perplexity_bucket": (q_perplexity_bucket, SQL_PPL_BUCKET),
 }

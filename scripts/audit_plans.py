@@ -40,6 +40,8 @@ BNLJ_OK = {
     "tfidf_topk", "sample_stratified",
     # k-centroid broadcast assignment, twice (seed pass + updated pass)
     "kmeans_iter_assign",
+    # k-centroid broadcast assignment feeding the within-cell prune join
+    "semdedup_cluster_prune",
 }
 
 
