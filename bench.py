@@ -74,6 +74,7 @@ HEADLINE = [
     "paragraph_dedup_stats",
     "dedup_keep_best",
     "perplexity_bucket",
+    "dedup_connected_components",
     "kmeans_iter_assign",
     "semdedup_cluster_prune",
     "image_resize_thumb",

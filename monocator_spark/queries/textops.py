@@ -1645,6 +1645,110 @@ FROM s
 """
 
 
+# -- Connected components over the LSH edge list -----------------------------------
+# True TRANSITIVE duplicate clusters — the step minhash_dedup_groups only
+# approximates. The band-bucket window-min mapping is exact within one
+# bucket, but a chain A—B (shared band 0) and B—C (shared band 3) leaves C
+# pointing at B while B points at A: two "clusters" for one duplicate
+# family. Production dedup (RefinedWeb, SlimPajama, BigCode) closes such
+# chains with distributed connected components over the LSH candidate
+# edges; this is that op.
+#
+# Algorithm: min-label propagation to the fixpoint. Each round is one
+# shuffle join (edges ⋈ labels on dst) + one min-aggregate on node, so a
+# component's min id travels one hop per round and the loop ends after
+# diameter+1 rounds. LSH duplicate clusters are near-cliques (tiny
+# diameter), so rounds ≈ 2–3 in practice; a worst-case long-chain graph
+# would call for the O(log n) large-star/small-star alternation (Kiveris
+# et al. 2014) — same per-round plan shape, different edge rewrite rule.
+#
+# Shape at 100 TB: edges are persisted once (the signature pipeline runs
+# once, not per round); every round's label table is localCheckpoint-
+# materialized — O(nodes-in-any-edge) rows, lineage cut so round k+1's
+# plan never re-expands rounds 1..k — and the convergence check is one
+# count() on the already-materialized diff (driver actions bounded by the
+# round count, never by data size). Output is O(docs): every document
+# mapped to its component-min representative, plus the cluster size the
+# curation decision actually keys on.
+def _connected_components(edges, spark):
+    """Min-label propagation: edges (src:long, dst:long, symmetric) →
+    labels (node:long, lbl:long = component min). Returns a
+    localCheckpoint-materialized DataFrame with no live lineage into
+    ``edges``."""
+    edges = edges.persist()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint()
+    )
+    while True:
+        nbr = edges.join(
+            labels.select(F.col("node").alias("dst"), "lbl"), "dst"
+        ).select(F.col("src").alias("node"), "lbl")
+        new = (
+            nbr.unionByName(labels)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("lbl", "old"), "node")
+            .where(F.col("lbl") != F.col("old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def q_dedup_connected_components(spark, sf_dir):
+    from pyspark.sql import Window
+
+    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("doc1").alias("src"), F.col("doc2").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc2").alias("src"), F.col("doc1").alias("dst"))
+    )
+    labels = _connected_components(edges, spark)
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    mapped = d.join(
+        labels.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce("lbl", F.col("doc_id")).alias("rep_id")
+    )
+    return mapped.select(
+        "doc_id",
+        "rep_id",
+        (F.col("doc_id") > F.col("rep_id")).alias("is_dup"),
+        F.count(F.lit(1)).over(Window.partitionBy("rep_id")).alias("cluster_size"),
+    )
+
+
+SQL_DEDUP_CC = f"""
+WITH RECURSIVE
+pairs AS ({SQL_LSH}),
+edges AS (
+  SELECT doc1 AS src, doc2 AS dst FROM pairs
+  UNION ALL
+  SELECT doc2 AS src, doc1 AS dst FROM pairs),
+walk (node, reach) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach),
+comp AS (SELECT node, MIN(reach) AS rep FROM walk GROUP BY node),
+mapped AS (
+  SELECT d.doc_id, COALESCE(c.rep, d.doc_id) AS rep_id
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+SELECT doc_id, rep_id, (doc_id > rep_id) AS is_dup,
+       COUNT(*) OVER (PARTITION BY rep_id) AS cluster_size
+FROM mapped
+"""
+
+
 TEXTOPS = {
     "ngram_topk": (q_ngram_topk, SQL_NGRAM_TOPK),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
@@ -1677,4 +1781,5 @@ TEXTOPS = {
     "paragraph_dedup_stats": (q_paragraph_dedup_stats, SQL_PARA_DEDUP),
     "dedup_keep_best": (q_dedup_keep_best, SQL_KEEP_BEST),
     "perplexity_bucket": (q_perplexity_bucket, SQL_PPL_BUCKET),
+    "dedup_connected_components": (q_dedup_connected_components, SQL_DEDUP_CC),
 }
