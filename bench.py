@@ -75,6 +75,8 @@ HEADLINE = [
     "dedup_keep_best",
     "perplexity_bucket",
     "dedup_connected_components",
+    "substring_dedup_spans",
+    "domain_cap_sample",
     "kmeans_iter_assign",
     "semdedup_cluster_prune",
     "image_resize_thumb",

@@ -1749,6 +1749,127 @@ FROM mapped
 """
 
 
+# -- Exact-substring span dedup (sliding windows + island merge) -----------------
+# The Lee et al. 2021 "Deduplicating Training Data Makes Language Models
+# Better" exact-substring op, at window granularity: hash every W-token
+# SLIDING window (stride 1 — unlike paragraph_dedup_stats' non-overlapping
+# tiles), mark windows whose text occurs ≥2 times anywhere in the corpus
+# (any doc, any offset — within-doc repeats count, matching the
+# suffix-array semantics), then merge each doc's run of duplicated window
+# starts into MAXIMAL duplicated spans via gaps-and-islands
+# (pos − row_number() constant within a run). Output is the actionable
+# shape production dedup emits: per-doc token ranges to cut, not a flag.
+#
+# Shape at 100 TB: windows explode ×~n_tokens but stay scan-local until
+# the one count shuffle on the 60-bit window hash (8-byte key, never the
+# window string); the dup set is a tiny fraction of windows, so the
+# islands window sees only duplicated rows. No all-pairs stage anywhere.
+_SPAN_W = 8  # tokens per sliding window
+
+
+def q_substring_dedup_spans(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents")
+    # 1-based window starts; docs shorter than W contribute no windows
+    spans = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"case when size({_WS}) < {_SPAN_W} then array()"
+                f" else transform(sequence(1, size({_WS}) - {_SPAN_W - 1}),"
+                f" i -> array_join(slice({_WS}, i, {_SPAN_W}), ' ')) end"
+            )
+        ).alias("pos0", "sp"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.expr(_md5long("sp")).alias("h"),
+    )
+    dup = spans.withColumn(
+        "n_occ", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    ).where(F.col("n_occ") >= 2)
+    isl = dup.withColumn(
+        "grp",
+        F.col("pos")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+    )
+    return isl.groupBy("doc_id", "grp").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + F.lit(_SPAN_W - 1)).alias("span_end"),
+        F.count(F.lit(1)).alias("n_windows"),
+    ).select("doc_id", "span_start", "span_end", "n_windows")
+
+
+SQL_SUBSTRING_SPANS = f"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ws
+  FROM documents
+),
+s AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         {_md5long_duck(f"array_to_string(ws[CAST(i AS INT):CAST(i + {_SPAN_W} - 1 AS INT)], ' ')")} AS h
+  FROM (SELECT doc_id, ws,
+               unnest(range(1, greatest(len(ws) - {_SPAN_W - 1}, 0) + 1)) AS i
+        FROM w)
+),
+dup AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS n_occ FROM s)
+  WHERE n_occ >= 2
+),
+isl AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM dup
+)
+SELECT doc_id, MIN(pos) AS span_start,
+       CAST(MAX(pos) + {_SPAN_W - 1} AS INT) AS span_end,
+       COUNT(*) AS n_windows
+FROM isl GROUP BY doc_id, grp
+"""
+
+
+# -- Per-domain hard cap (corpus balancing) ---------------------------------------
+# Web corpora cap pages per domain so no single site dominates training
+# (Common Crawl derivatives cap per-domain page counts; Gopher/MassiveWeb
+# subsample hot domains). Distinct from sample_stratified (a RATE per
+# language): this is a hard per-source COUNT cap with a deterministic,
+# seed-free pick — rank each source's docs by md5(doc_id) (a stable
+# pseudo-random order any engine reproduces) and keep the first K.
+#
+# Shape at 100 TB: one shuffle on source. A pathologically hot domain makes
+# that window partition skewed; the rank-then-cap form lets AQE skew-split
+# handle it, and only (doc_id, source) — never text — is shuffled.
+_DOMAIN_CAP = 8
+
+
+def q_domain_cap_sample(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.expr(_md5long("cast(doc_id as string)")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("kept", F.col("rk") <= _DOMAIN_CAP)
+    )
+
+
+SQL_DOMAIN_CAP = f"""
+SELECT doc_id, source, rk, (rk <= {_DOMAIN_CAP}) AS kept
+FROM (
+  SELECT doc_id, source,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY {_md5long_duck('CAST(doc_id AS VARCHAR)')}, doc_id
+         ) AS INT) AS rk
+  FROM documents)
+"""
+
+
 TEXTOPS = {
     "ngram_topk": (q_ngram_topk, SQL_NGRAM_TOPK),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
@@ -1782,4 +1903,6 @@ TEXTOPS = {
     "dedup_keep_best": (q_dedup_keep_best, SQL_KEEP_BEST),
     "perplexity_bucket": (q_perplexity_bucket, SQL_PPL_BUCKET),
     "dedup_connected_components": (q_dedup_connected_components, SQL_DEDUP_CC),
+    "substring_dedup_spans": (q_substring_dedup_spans, SQL_SUBSTRING_SPANS),
+    "domain_cap_sample": (q_domain_cap_sample, SQL_DOMAIN_CAP),
 }
