@@ -77,10 +77,13 @@ HEADLINE = [
     "dedup_connected_components",
     "substring_dedup_spans",
     "domain_cap_sample",
+    "mix_weights_epochs",
+    "sequence_pack_chunks",
     "kmeans_iter_assign",
     "semdedup_cluster_prune",
     "image_resize_thumb",
     "image_quality_gate",
+    "image_aspect_bucket",
     "frame_sample_stub",
     "audio_window_energy",
     "tumbling_window_stream",

@@ -569,6 +569,78 @@ FROM m
 """
 
 
+# -- Aspect-ratio bucketing (multi-resolution image-training batching) -----------
+# Image pre-training pipelines batch samples by aspect-ratio bucket so a
+# batch shares one (bw, bh) target and resize/crop loss stays minimal
+# (the SDXL "aspect bucketing" recipe; NovelAI's original writeup). The op
+# assigns every image to the ladder bucket minimizing |w/h − bw/bh| with
+# EXACT integer arithmetic — no float ratio can flip an argmin between
+# engines: |w/h − bw/bh| ∝ |w·bh − h·bw| / bh once the common 1/h drops,
+# so scoring with |w·bh − h·bw| · (L/bh), L = lcm(all bh) = 79,672,320,
+# is an exact cross-engine comparator (max score·16+15 < 2^63). Argmin +
+# deterministic lowest-index tie-break in ONE `least()` by packing
+# score·16 + idx. (w, h) are synthesized from doc_id on both engines
+# (testdata carries no real dims); spans 64..2048 px both axes.
+#
+# Shape at 100 TB: pure scalar Catalyst expressions — scan-local, zero
+# shuffles, whole-stage codegen; the ladder is a compile-time literal.
+_ASPECT_LADDER = [
+    (1024, 1024), (1152, 896), (896, 1152), (1216, 832), (832, 1216),
+    (1344, 768), (768, 1344), (1536, 640), (640, 1536),
+]
+_ASPECT_L = 79672320  # lcm of all ladder heights
+
+
+_ASPECT_PACKED = ", ".join(
+    f"abs(w * {bh} - h * {bw}) * {_ASPECT_L // bh} * 16 + {i}"
+    for i, (bw, bh) in enumerate(_ASPECT_LADDER)
+)
+_ASPECT_BW_CASE = " ".join(
+    f"WHEN {i} THEN {bw}" for i, (bw, _) in enumerate(_ASPECT_LADDER)
+)
+_ASPECT_BH_CASE = " ".join(
+    f"WHEN {i} THEN {bh}" for i, (_, bh) in enumerate(_ASPECT_LADDER)
+)
+
+
+def q_image_aspect_bucket(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("cast(64 + (doc_id * 37) % 1985 as bigint)").alias("w"),
+        F.expr("cast(64 + (doc_id * 101) % 1985 as bigint)").alias("h"),
+    )
+    a = d.withColumn("bucket_idx", F.expr(f"least({_ASPECT_PACKED}) % 16"))
+    return a.select(
+        "doc_id", "w", "h",
+        F.col("bucket_idx").cast("long").alias("bucket_idx"),
+        F.expr(f"cast(CASE bucket_idx {_ASPECT_BW_CASE} END as bigint)").alias(
+            "bucket_w"
+        ),
+        F.expr(f"cast(CASE bucket_idx {_ASPECT_BH_CASE} END as bigint)").alias(
+            "bucket_h"
+        ),
+        F.expr("(w * 1000000) DIV h").alias("ar_ppm"),
+    )
+
+
+SQL_ASPECT_BUCKET = f"""
+WITH dims AS (
+  SELECT doc_id,
+         CAST(64 + (doc_id * 37) % 1985 AS BIGINT) AS w,
+         CAST(64 + (doc_id * 101) % 1985 AS BIGINT) AS h
+  FROM documents
+),
+assigned AS (
+  SELECT doc_id, w, h, least({_ASPECT_PACKED}) % 16 AS bucket_idx FROM dims
+)
+SELECT doc_id, w, h, CAST(bucket_idx AS BIGINT) AS bucket_idx,
+       CAST(CASE bucket_idx {_ASPECT_BW_CASE} END AS BIGINT) AS bucket_w,
+       CAST(CASE bucket_idx {_ASPECT_BH_CASE} END AS BIGINT) AS bucket_h,
+       (w * 1000000) // h AS ar_ppm
+FROM assigned
+"""
+
+
 IMAGING = {
     "phash_hamming_pairs": (q_phash_hamming_pairs, SQL_PHASH_PAIRS),
     "phash_dedup_groups": (q_phash_dedup_groups, SQL_PHASH_GROUPS),
@@ -576,4 +648,5 @@ IMAGING = {
     "frame_sample_stub": (q_frame_sample_stub, SQL_FRAME_SAMPLE),
     "audio_window_energy": (q_audio_window_energy, SQL_AUDIO_ENERGY),
     "image_quality_gate": (q_image_quality_gate, SQL_QUALITY_GATE),
+    "image_aspect_bucket": (q_image_aspect_bucket, SQL_ASPECT_BUCKET),
 }

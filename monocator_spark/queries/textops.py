@@ -1870,6 +1870,139 @@ FROM (
 """
 
 
+# -- Dataset-mixing weight calculator ---------------------------------------------
+# Training-corpus assembly ends with a MIXING step: each source gets a
+# target share of the token budget (The Pile's per-set weights; DoReMi's
+# learned domain weights), and the loader needs the per-source sampling
+# multiplier ("epochs") = target_share / natural_share — >1000 milli means
+# the source is upsampled (seen more than once per pass), <1000 means
+# subsampled. Weights here are a deterministic function of the source name
+# (1 + md5(source) % 5, then normalized), so both engines derive the same
+# target distribution with zero config plumbing. All arithmetic is integer
+# (ppm shares, milli multipliers, floor division) — no float can split the
+# engines.
+#
+# Shape at 100 TB: one map-side-combined agg shuffles only (source,
+# partial sums) — the corpus text never moves; the window totals run over
+# the ~|sources| aggregate rows (tiny), not the corpus.
+def q_mix_weights_epochs(spark, sf_dir):
+    from pyspark.sql import Window
+
+    per_src = (
+        T(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.expr(f"size({_WS})")).alias("n_tokens"),
+        )
+        .withColumn("weight", F.expr(_md5long("source")) % 5 + 1)
+    )
+    w = Window.partitionBy()  # |sources| rows — tiny by construction
+    tot = per_src.select(
+        "source", "n_docs", "n_tokens", "weight",
+        F.sum("n_tokens").over(w).alias("tot_tokens"),
+        F.sum("weight").over(w).alias("tot_weight"),
+    )
+    return tot.select(
+        "source", "n_docs", "n_tokens", "weight",
+        F.expr("n_tokens * 1000000 DIV tot_tokens").alias("natural_ppm"),
+        F.expr("weight * 1000000 DIV tot_weight").alias("target_ppm"),
+        F.expr(
+            "(weight * 1000000 DIV tot_weight) * 1000"
+            " DIV greatest(n_tokens * 1000000 DIV tot_tokens, 1)"
+        ).alias("epochs_milli"),
+    )
+
+
+SQL_MIX_WEIGHTS = f"""
+WITH per_src AS (
+  SELECT source, COUNT(*) AS n_docs,
+         SUM(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS n_tokens,
+         {_md5long_duck("source")} % 5 + 1 AS weight
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT *, SUM(n_tokens) OVER () AS tot_tokens,
+            SUM(weight) OVER () AS tot_weight
+  FROM per_src
+)
+SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(weight AS BIGINT) AS weight,
+       CAST(n_tokens * 1000000 // tot_tokens AS BIGINT) AS natural_ppm,
+       CAST(weight * 1000000 // tot_weight AS BIGINT) AS target_ppm,
+       CAST((weight * 1000000 // tot_weight) * 1000
+         // greatest(n_tokens * 1000000 // tot_tokens, 1) AS BIGINT) AS epochs_milli
+FROM tot
+"""
+
+
+# -- Sequence packing into fixed-length training contexts -------------------------
+# The last mile of a pre-training pipeline: documents are concatenated in a
+# deterministic order and the token stream is cut into fixed CONTEXT-length
+# chunks (GPT-style packing — every batch row is exactly C tokens, docs
+# spanning chunk boundaries). The op computes, per doc, its byte-exact
+# placement in that stream: start offset (running token sum over docs
+# before it), first/last chunk id, and how many chunks it spans. Packing
+# is per SOURCE here — exactly how production packs per output shard, so
+# the running sum never needs a global total order. Integer arithmetic
+# throughout.
+#
+# Shape at 100 TB: token counting is scan-local; one shuffle on source;
+# the running-sum window is a single ordered pass per source partition
+# (production would sub-shard hot sources first — the per-shard semantics
+# are unchanged, which is the point of packing per shard).
+_PACK_C = 512  # tokens per packed training context
+
+
+def q_sequence_pack_chunks(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.expr(f"cast(size({_WS}) as bigint)").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = d.withColumn(
+        "start_off", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    ).where(F.col("n_tokens") > 0)
+    return s.select(
+        "source", "doc_id", "n_tokens", "start_off",
+        F.expr(f"start_off DIV {_PACK_C}").alias("chunk_first"),
+        F.expr(f"(start_off + n_tokens - 1) DIV {_PACK_C}").alias("chunk_last"),
+        F.expr(
+            f"(start_off + n_tokens - 1) DIV {_PACK_C}"
+            f" - start_off DIV {_PACK_C} + 1"
+        ).alias("n_chunks"),
+    )
+
+
+SQL_PACK_CHUNKS = f"""
+WITH d AS (
+  SELECT source, doc_id,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens
+  FROM documents
+),
+s AS (
+  SELECT source, doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
+  FROM d
+)
+SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(start_off AS BIGINT) AS start_off,
+       CAST(start_off // {_PACK_C} AS BIGINT) AS chunk_first,
+       CAST((start_off + n_tokens - 1) // {_PACK_C} AS BIGINT) AS chunk_last,
+       CAST((start_off + n_tokens - 1) // {_PACK_C}
+            - start_off // {_PACK_C} + 1 AS BIGINT) AS n_chunks
+FROM s WHERE n_tokens > 0
+"""
+
+
 TEXTOPS = {
     "ngram_topk": (q_ngram_topk, SQL_NGRAM_TOPK),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
@@ -1905,4 +2038,6 @@ TEXTOPS = {
     "dedup_connected_components": (q_dedup_connected_components, SQL_DEDUP_CC),
     "substring_dedup_spans": (q_substring_dedup_spans, SQL_SUBSTRING_SPANS),
     "domain_cap_sample": (q_domain_cap_sample, SQL_DOMAIN_CAP),
+    "mix_weights_epochs": (q_mix_weights_epochs, SQL_MIX_WEIGHTS),
+    "sequence_pack_chunks": (q_sequence_pack_chunks, SQL_PACK_CHUNKS),
 }
