@@ -84,6 +84,7 @@ HEADLINE = [
     "image_resize_thumb",
     "image_quality_gate",
     "image_aspect_bucket",
+    "caption_image_filter",
     "frame_sample_stub",
     "audio_window_energy",
     "tumbling_window_stream",

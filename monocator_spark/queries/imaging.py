@@ -641,6 +641,75 @@ FROM assigned
 """
 
 
+# -- Joint image+caption metadata filter (image-text dataset assembly) ------------
+# The FIRST filter any image-text dataset build applies (LAION's assembly
+# recipe): purely metadata-level — image dimensions, aspect-ratio bounds,
+# caption length — before any pixel or embedding work is spent. Ordered
+# verdicts (first failing rule names the reason): undersized → extreme_ar
+# → short_caption → long_caption → ok. (w, h) reuse the aspect-op synth;
+# the caption is the doc's first 12 whitespace tokens — both derived
+# identically on both engines. Aspect bound is integer cross-multiplied
+# (w > 2h / h > 2w), caption length in tokens and chars — no floats.
+#
+# Shape at 100 TB: scan-local scalar expressions, zero shuffles; this is
+# the op that makes the 90%-reject happen BEFORE bytes move anywhere.
+_CIF_MIN_SIDE = 256
+_CIF_MAX_AR = 2           # max(w,h) <= 2 * min(w,h)
+_CIF_MIN_CAP_TOK = 3
+_CIF_MAX_CAP_CHARS = 90
+
+def q_caption_image_filter(spark, sf_dir):
+    ws = "filter(split(text, ' '), t -> t <> '')"
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("cast(64 + (doc_id * 37) % 1985 as bigint)").alias("w"),
+        F.expr("cast(64 + (doc_id * 101) % 1985 as bigint)").alias("h"),
+        F.expr(f"array_join(slice({ws}, 1, 12), ' ')").alias("caption"),
+    ).select(
+        "doc_id", "w", "h", "caption",
+        F.expr("cast(size(filter(split(caption, ' '), t -> t <> '')) as bigint)")
+        .alias("cap_tokens"),
+        F.expr("cast(length(caption) as bigint)").alias("cap_chars"),
+    )
+    return d.select(
+        "doc_id", "w", "h", "cap_tokens", "cap_chars",
+        F.expr(
+            f"CASE WHEN least(w, h) < {_CIF_MIN_SIDE} THEN 'undersized'"
+            f" WHEN greatest(w, h) > {_CIF_MAX_AR} * least(w, h) THEN 'extreme_ar'"
+            f" WHEN cap_tokens < {_CIF_MIN_CAP_TOK} THEN 'short_caption'"
+            f" WHEN cap_chars > {_CIF_MAX_CAP_CHARS} THEN 'long_caption'"
+            f" ELSE 'ok' END"
+        ).alias("verdict"),
+    )
+
+
+SQL_CAPTION_FILTER = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(64 + (doc_id * 37) % 1985 AS BIGINT) AS w,
+         CAST(64 + (doc_id * 101) % 1985 AS BIGINT) AS h,
+         array_to_string(
+           list_filter(string_split(text, ' '), t -> t <> '')[1:12], ' '
+         ) AS caption
+  FROM documents
+),
+m AS (
+  SELECT doc_id, w, h,
+         CAST(len(list_filter(string_split(caption, ' '), t -> t <> ''))
+              AS BIGINT) AS cap_tokens,
+         CAST(length(caption) AS BIGINT) AS cap_chars
+  FROM d
+)
+SELECT doc_id, w, h, cap_tokens, cap_chars,
+       CASE WHEN least(w, h) < {_CIF_MIN_SIDE} THEN 'undersized'
+            WHEN greatest(w, h) > {_CIF_MAX_AR} * least(w, h) THEN 'extreme_ar'
+            WHEN cap_tokens < {_CIF_MIN_CAP_TOK} THEN 'short_caption'
+            WHEN cap_chars > {_CIF_MAX_CAP_CHARS} THEN 'long_caption'
+            ELSE 'ok' END AS verdict
+FROM m
+"""
+
+
 IMAGING = {
     "phash_hamming_pairs": (q_phash_hamming_pairs, SQL_PHASH_PAIRS),
     "phash_dedup_groups": (q_phash_dedup_groups, SQL_PHASH_GROUPS),
@@ -649,4 +718,5 @@ IMAGING = {
     "audio_window_energy": (q_audio_window_energy, SQL_AUDIO_ENERGY),
     "image_quality_gate": (q_image_quality_gate, SQL_QUALITY_GATE),
     "image_aspect_bucket": (q_image_aspect_bucket, SQL_ASPECT_BUCKET),
+    "caption_image_filter": (q_caption_image_filter, SQL_CAPTION_FILTER),
 }

@@ -114,3 +114,41 @@ def test_sequence_pack_matches_python_twin(spark):
             (r["start_off"] + r["n_tokens"]) for r in rows if r["source"] == src
         )
         assert last == tot
+
+def test_caption_filter_matches_python_twin(spark):
+    from monocator_spark.queries.imaging import (
+        _CIF_MAX_AR,
+        _CIF_MAX_CAP_CHARS,
+        _CIF_MIN_CAP_TOK,
+        _CIF_MIN_SIDE,
+        q_caption_image_filter,
+    )
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in T(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    }
+    rows = q_caption_image_filter(spark, SF_DIR).collect()
+    assert len(rows) == len(texts)
+    seen = set()
+    for r in rows:
+        w = 64 + (r["doc_id"] * 37) % 1985
+        h = 64 + (r["doc_id"] * 101) % 1985
+        cap = " ".join([t for t in texts[r["doc_id"]].split(" ") if t][:12])
+        if min(w, h) < _CIF_MIN_SIDE:
+            v = "undersized"
+        elif max(w, h) > _CIF_MAX_AR * min(w, h):
+            v = "extreme_ar"
+        elif r["cap_tokens"] < _CIF_MIN_CAP_TOK:
+            v = "short_caption"
+        elif len(cap) > _CIF_MAX_CAP_CHARS:
+            v = "long_caption"
+        else:
+            v = "ok"
+        assert (r["w"], r["h"]) == (w, h)
+        assert r["cap_tokens"] == len([t for t in cap.split(" ") if t])
+        assert r["cap_chars"] == len(cap)
+        assert r["verdict"] == v
+        seen.add(v)
+    # the filter's reject AND accept paths both fire on the testdata
+    assert "ok" in seen and len(seen) >= 3
