@@ -81,6 +81,7 @@ HEADLINE = [
     "sequence_pack_chunks",
     "kmeans_iter_assign",
     "semdedup_cluster_prune",
+    "cluster_balanced_sample",
     "image_resize_thumb",
     "image_quality_gate",
     "image_aspect_bucket",

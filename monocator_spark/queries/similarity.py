@@ -536,6 +536,82 @@ FROM a0 JOIN a1 ON a0.vec_id = a1.vec_id
 """
 
 
+# -- Cluster-balanced sampling ----------------------------------------------------
+# The downsampling rule that PRESERVES DIVERSITY: after clustering the
+# corpus in embedding space, cap every cluster at K vectors instead of
+# sampling uniformly (uniform sampling reproduces the corpus's mode
+# collapse; per-cluster caps flatten it — the balanced-sampling step that
+# typically follows k-means in embedding-space curation, same family as
+# SemDeDup's cluster stage). Assignment reuses the kmeans op's exact
+# integer machinery (floor(x·1000) quantization, integer squared
+# distances, cent_id tiebreak); within a cell the kept K are chosen by
+# (md5(vec_id), vec_id) — a deterministic, seed-free pseudo-random order
+# any engine reproduces, exactly like domain_cap_sample's pick.
+#
+# Shape at 100 TB: broadcast k centroids × linear corpus scan, then ONE
+# shuffle on the cell id carrying only (vec_id, cell) — vectors never
+# move after assignment, no all-pairs stage; hot cells are ranked
+# windows, left to AQE skew-split.
+_CBS_CAP = 12
+
+
+def q_cluster_balanced_sample(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_quant_spark("embedding")).alias("qe")
+    )
+    cents = e.where(F.col("vec_id") % 64 == 3).select(
+        F.col("vec_id").alias("cent_id"), F.col("qe").alias("ce")
+    )
+    scored = e.crossJoin(F.broadcast(cents)).withColumn(
+        "d", F.expr(_SQDIST.format(a="qe", b="ce"))
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cent_id"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(wv))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("cent_id").alias("cell"))
+    )
+    wc = Window.partitionBy("cell").orderBy(
+        F.expr("cast(conv(substr(md5(cast(vec_id as string)),1,15),16,10)"
+               " as bigint)"),
+        F.asc("vec_id"),
+    )
+    return assigned.select(
+        "vec_id", "cell",
+        F.row_number().over(wc).cast("long").alias("rk"),
+    ).withColumn("kept", F.col("rk") <= _CBS_CAP)
+
+
+def _sql_cluster_balanced() -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, {_quant_duck('embedding')} AS qe FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cent_id, qe AS ce FROM e WHERE vec_id % 64 = 3
+),
+assigned AS (
+  SELECT vec_id, cent_id AS cell FROM (
+    SELECT e.vec_id, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             list_sum(list_transform(range(1, len(e.qe) + 1),
+               i -> (e.qe[CAST(i AS INT)] - c.ce[CAST(i AS INT)])
+                    * (e.qe[CAST(i AS INT)] - c.ce[CAST(i AS INT)]))),
+             c.cent_id) AS rn
+    FROM e CROSS JOIN cents c) t
+  WHERE rn = 1
+)
+SELECT vec_id, cell,
+       CAST(ROW_NUMBER() OVER (PARTITION BY cell ORDER BY
+         CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT),
+         vec_id) AS BIGINT) AS rk,
+       ROW_NUMBER() OVER (PARTITION BY cell ORDER BY
+         CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT),
+         vec_id) <= {_CBS_CAP} AS kept
+FROM assigned
+"""
+
+
 # -- SemDeDup: cluster-then-prune semantic dedup --------------------------------
 # The full SemDeDup recipe (Abbas et al. 2023, the standard semantic-curation
 # pass): cluster the corpus in embedding space, then WITHIN each cluster drop
@@ -637,4 +713,5 @@ SIMILARITY = {
     "embedding_neardup_pairs": (q_embedding_neardup_pairs, _sql_neardup()),
     "kmeans_iter_assign": (q_kmeans_iter_assign, _sql_kmeans()),
     "semdedup_cluster_prune": (q_semdedup_cluster_prune, _sql_semdedup()),
+    "cluster_balanced_sample": (q_cluster_balanced_sample, _sql_cluster_balanced()),
 }

@@ -152,3 +152,45 @@ def test_caption_filter_matches_python_twin(spark):
         seen.add(v)
     # the filter's reject AND accept paths both fire on the testdata
     assert "ok" in seen and len(seen) >= 3
+
+def test_cluster_balanced_sample_matches_numpy_twin(spark):
+    import numpy as np
+
+    from monocator_spark.queries.similarity import (
+        _CBS_CAP,
+        _KM_Q,
+        q_cluster_balanced_sample,
+    )
+
+    rows_in = (
+        T(spark, SF_DIR, "embeddings").select("vec_id", "embedding").collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows_in], dtype=np.int64)
+    qe = np.floor(
+        np.array([r["embedding"] for r in rows_in], dtype=np.float64) * _KM_Q
+    ).astype(np.int64)
+    cmask = ids % 64 == 3
+    cent_ids, cents = ids[cmask], qe[cmask]
+    # exact integer squared distances; nearest centroid, cent_id tiebreak
+    d = ((qe[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    cell = {}
+    for i, v in enumerate(ids):
+        tied = np.flatnonzero(d[i] == d[i].min())
+        cell[int(v)] = int(cent_ids[tied].min())  # cent_id tiebreak
+
+    def hkey(v):
+        return (int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16), v)
+
+    by_cell = {}
+    for v in ids:
+        by_cell.setdefault(cell[int(v)], []).append(int(v))
+    exp = {}
+    for c, vs in by_cell.items():
+        for rk, v in enumerate(sorted(vs, key=hkey), start=1):
+            exp[v] = (c, rk, rk <= _CBS_CAP)
+
+    got = q_cluster_balanced_sample(spark, SF_DIR).collect()
+    assert len(got) == len(exp)
+    for r in got:
+        assert (r["cell"], r["rk"], r["kept"]) == exp[r["vec_id"]]
+    assert any(r["kept"] for r in got) and any(not r["kept"] for r in got)
