@@ -88,6 +88,8 @@ HEADLINE = [
     "caption_image_filter",
     "frame_sample_stub",
     "audio_window_energy",
+    "urlnorm_grid",
+    "robots_longest_match",
     "tumbling_window_stream",
     "session_gap_user",
     "dedup_stream_first_seen",

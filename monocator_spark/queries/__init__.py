@@ -7,6 +7,7 @@ aligned pairwise — the driver hash-compares values after sorting columns by
 name.
 """
 
+from monocator_spark.queries.crawlops import CRAWLOPS
 from monocator_spark.queries.imaging import IMAGING
 from monocator_spark.queries.relational import RELATIONAL
 from monocator_spark.queries.similarity import SIMILARITY
@@ -14,7 +15,7 @@ from monocator_spark.queries.streamingops import STREAMING
 from monocator_spark.queries.textops import TEXTOPS
 
 REGISTRY: dict[str, tuple] = {}
-for part in (RELATIONAL, TEXTOPS, SIMILARITY, IMAGING, STREAMING):
+for part in (RELATIONAL, TEXTOPS, SIMILARITY, IMAGING, STREAMING, CRAWLOPS):
     REGISTRY.update(part)
 
 
