@@ -42,6 +42,8 @@ BNLJ_OK = {
     "kmeans_iter_assign",
     # k-centroid broadcast assignment feeding the within-cell prune join
     "semdedup_cluster_prune",
+    # k-centroid broadcast assignment feeding the per-cell cap window
+    "cluster_balanced_sample",
 }
 
 
