@@ -88,6 +88,8 @@ HEADLINE = [
     "caption_image_filter",
     "frame_sample_stub",
     "audio_window_energy",
+    "bm25_topk",
+    "split_assign",
     "urlnorm_grid",
     "robots_longest_match",
     "tumbling_window_stream",

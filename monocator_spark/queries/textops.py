@@ -2003,6 +2003,126 @@ FROM s WHERE n_tokens > 0
 """
 
 
+# -- BM25 retrieval scoring (Okapi, k1=1.2 b=0.75) ----------------------------
+# The ranking function behind corpus search / quality-by-query curation,
+# next to tfidf_topk's linear-idf features. Parity trick: k1 and b are
+# rationals (6/5, 3/4), so the whole score collapses to ONE division of two
+# exact integers —
+#   score = 22·L·tf·N / ((10·L·tf + 3·L + 9·dl·N) · df)
+# where dl = per-doc term count, L = Σ dl, N = corpus size (operands stay
+# ≤ 2^53 far past sf0.1) — same "doubles only from identical-operand
+# divisions" rule as tfidf_topk, so the double is bit-identical on every
+# engine and no rank can flip.
+# Shape at 100 TB: the term explode collapses map-side before one
+# (doc_id, term) shuffle; dl rides the same aggregate keyed by doc_id; df
+# is O(vocabulary) and broadcast (term is Zipf-skewed — never shuffle on
+# it); L and N are broadcast 1-row aggregates, not driver actions.
+def q_bm25_topk(spark, sf_dir, k: int = 5, min_len: int = 3):
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents")
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    terms = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term"),
+    ).where(F.length("term") >= min_len)
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    corpus_len = dl.agg(F.sum("dl").alias("corpus_l"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n_docs))
+        .crossJoin(F.broadcast(corpus_len))
+        .withColumn(
+            "score",
+            F.round(
+                (F.lit(22) * F.col("corpus_l") * F.col("tf") * F.col("n_docs"))
+                .cast("double")
+                / (
+                    (
+                        F.lit(10) * F.col("corpus_l") * F.col("tf")
+                        + F.lit(3) * F.col("corpus_l")
+                        + F.lit(9) * F.col("dl") * F.col("n_docs")
+                    )
+                    * F.col("df")
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+        .select("doc_id", "term", "tf", "dl", "score", "rk")
+    )
+
+
+SQL_BM25_TOPK = """
+WITH terms AS (
+  SELECT doc_id, term
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
+        FROM documents) t
+  WHERE length(term) >= 3
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM terms GROUP BY doc_id),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+l AS (SELECT CAST(SUM(dl) AS BIGINT) AS corpus_l FROM dl)
+SELECT doc_id, term, tf, dl, score, rk FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, dl.dl,
+         ROUND(CAST(22 * l.corpus_l * tf.tf * n.n_docs AS DOUBLE)
+               / ((10 * l.corpus_l * tf.tf + 3 * l.corpus_l
+                   + 9 * dl.dl * n.n_docs) * dfreq.df), 6) AS score,
+         ROW_NUMBER() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY ROUND(CAST(22 * l.corpus_l * tf.tf * n.n_docs AS DOUBLE)
+               / ((10 * l.corpus_l * tf.tf + 3 * l.corpus_l
+                   + 9 * dl.dl * n.n_docs) * dfreq.df), 6) DESC,
+                    tf.term) AS rk
+  FROM tf
+  JOIN dfreq ON tf.term = dfreq.term
+  JOIN dl ON tf.doc_id = dl.doc_id, n, l) q
+WHERE rk <= 5
+"""
+
+
+# -- deterministic train/val/test split assignment ----------------------------
+# The split every pipeline needs before training: hash-based (not random),
+# so membership is a pure function of doc_id — stable when the corpus
+# grows, reproducible at any cluster size, no sampling pass and no state.
+# 900/50/50 permille via the shared md5‰ device (sample_stratified's).
+def q_split_assign(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    pm = (F.expr(_md5long("concat('split|', cast(doc_id as string))")) % 1000).alias(
+        "permille"
+    )
+    return d.select("doc_id", pm).select(
+        "doc_id",
+        "permille",
+        F.when(F.col("permille") < 900, "train")
+        .when(F.col("permille") < 950, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+SQL_SPLIT_ASSIGN = f"""
+SELECT doc_id, permille,
+       CASE WHEN permille < 900 THEN 'train'
+            WHEN permille < 950 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             {_md5long_duck("'split|'||CAST(doc_id AS VARCHAR)")} % 1000
+               AS permille
+      FROM documents) t
+"""
+
+
 TEXTOPS = {
     "ngram_topk": (q_ngram_topk, SQL_NGRAM_TOPK),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
@@ -2040,4 +2160,6 @@ TEXTOPS = {
     "domain_cap_sample": (q_domain_cap_sample, SQL_DOMAIN_CAP),
     "mix_weights_epochs": (q_mix_weights_epochs, SQL_MIX_WEIGHTS),
     "sequence_pack_chunks": (q_sequence_pack_chunks, SQL_PACK_CHUNKS),
+    "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
+    "split_assign": (q_split_assign, SQL_SPLIT_ASSIGN),
 }
