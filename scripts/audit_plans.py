@@ -38,6 +38,8 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 BNLJ_OK = {
     "embedding_cosine_topk", "ann_ivf_bucketed",
     "tfidf_topk", "sample_stratified",
+    # 1-row broadcast aggregates (N, L) folded into the plan, same as tfidf
+    "bm25_topk",
     # k-centroid broadcast assignment, twice (seed pass + updated pass)
     "kmeans_iter_assign",
     # k-centroid broadcast assignment feeding the within-cell prune join
