@@ -49,6 +49,7 @@ HEADLINE = [
     "embedding_cosine_topk",
     "embedding_neardup_pairs",
     "ann_ivf_bucketed",
+    "ann_pq_adc",
     "bloom_build_stats",
     "cuckoo_build_stats",
     "tls_fanout_map",

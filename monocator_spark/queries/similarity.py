@@ -705,10 +705,176 @@ FROM assigned s LEFT JOIN prunes p ON s.vec_id = p.vb
 """
 
 
+# -- PQ-ADC ANN (product quantization + asymmetric distance computation) ------
+# The third canonical ANN scale path next to IVF cells and LSH buckets: at
+# 100 TB the index must be SMALLER than the vectors, and PQ is how — each
+# 64-dim vector compresses to M=4 one-byte codes (a 64x memory reduction),
+# and queries rank the whole corpus by table lookups over those codes
+# (ADC: asymmetric distance — exact query subvector vs quantized corpus
+# codeword), never touching the raw vectors after encode.
+#
+# Cross-engine exactness: all distances are integer squared distances over
+# floor(x*1000) fixed-point subvectors, so train/encode/ADC produce
+# bit-identical argmins on both engines (no float ranking anywhere).
+# Shapes: the codebook is M*K = 64 rows (broadcast); encode is a broadcast
+# crossJoin + map-side-combined min_by groupBy (the shuffle carries only
+# (vec_id, m, best-struct) longs, never vectors); the query LUT is
+# Q*M*K = 512 rows (broadcast); the ADC sum groupBy keys on (q_id, vec_id)
+# — uniform by construction. The corpus's raw vectors are read exactly
+# once, in the encode scan.
+_PQ_M = 4  # subspaces
+_PQ_SUB = 16  # dims per subspace (M * SUB = embedding dim 64)
+_PQ_K = 16  # centroids per subspace; codebook = first K train rows
+_PQ_SCALE = 1000  # fixed-point quantization: floor(x * SCALE)
+
+
+def _pq_qsub_spark(col: str, m) -> str:
+    """Quantized integer subvector `m` (0-based) of array column `col`."""
+    start = f"({m} * {_PQ_SUB} + 1)"
+    return (
+        f"transform(slice({col}, {start}, {_PQ_SUB}),"
+        f" x -> cast(floor(cast(x as double) * {_PQ_SCALE}) as bigint))"
+    )
+
+
+_PQ_ISQ_SPARK = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+    " cast(0 as bigint), (acc, v) -> acc + v)"
+)
+
+
+def _pq_qsub_duck(col: str, m) -> str:
+    lo = f"({m} * {_PQ_SUB} + 1)"
+    hi = f"(({m} + 1) * {_PQ_SUB})"
+    return (
+        f"list_transform({col}[{lo}:{hi}],"
+        f" x -> CAST(floor(CAST(x AS DOUBLE) * {_PQ_SCALE}) AS BIGINT))"
+    )
+
+
+def _pq_isq_duck(a: str, b: str) -> str:
+    # |a-b|^2 = a.a - 2 a.b + b.b; all terms are integer-valued and far
+    # below 2^53, so the double arithmetic is exact.
+    def ldp(x, y):
+        return (
+            "list_dot_product("
+            f"list_transform({x}, v -> CAST(v AS DOUBLE)),"
+            f" list_transform({y}, v -> CAST(v AS DOUBLE)))"
+        )
+
+    return f"CAST({ldp(a, a)} - 2 * {ldp(a, b)} + {ldp(b, b)} AS BIGINT)"
+
+
+def q_ann_pq_adc(spark, sf_dir):
+    """PQ encode + ADC top-3: train a 4x16 codebook from 16 deterministic
+    rows (vec_id ≡ 7 mod 31, < 496 — present at every sf), encode every
+    vector to 4 subspace codes by integer-argmin, then rank each query's
+    neighbors by the sum of LUT distances over those codes."""
+    e = T(spark, sf_dir, "embeddings")
+    train = e.where((F.col("vec_id") < 496) & (F.col("vec_id") % 31 == 7))
+    cents = train.select(
+        F.expr("(vec_id - 7) div 31").alias("k"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.expr(_pq_qsub_spark("embedding", m)).alias("c_q"),
+                    )
+                    for m in range(_PQ_M)
+                ]
+            )
+        ).alias("mc"),
+    ).select("k", F.col("mc.m").alias("m"), F.col("mc.c_q").alias("c_q"))
+
+    # encode: corpus x broadcast codebook -> per-(vec, m) integer argmin.
+    # min(struct(d, k)) is lexicographic, i.e. min distance then lowest
+    # centroid index — and partially aggregates map-side.
+    v_q = f"transform(slice(embedding, m * {_PQ_SUB} + 1, {_PQ_SUB}), x -> cast(floor(cast(x as double) * {_PQ_SCALE}) as bigint))"
+    d_expr = _PQ_ISQ_SPARK.format(a=v_q, b="c_q")
+    codes = (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", "m", "k", F.expr(d_expr).alias("d"))
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d", "k")).alias("best"))
+        .select("vec_id", "m", F.col("best.k").alias("code"))
+    )
+
+    # query LUT: Q * M * K rows of exact (query subvector vs centroid)
+    # integer distances — tiny, broadcast against the code table.
+    lut = (
+        e.where(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "q_id",
+            "m",
+            "k",
+            F.expr(
+                _PQ_ISQ_SPARK.format(
+                    a=f"transform(slice(q_emb, m * {_PQ_SUB} + 1, {_PQ_SUB}), x -> cast(floor(cast(x as double) * {_PQ_SCALE}) as bigint))",
+                    b="c_q",
+                )
+            ).alias("d"),
+        )
+    )
+    adc = (
+        codes.join(
+            F.broadcast(lut),
+            (codes.m == lut.m) & (codes.code == lut.k),
+        )
+        .where(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("d").alias("adc_dist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    return (
+        adc.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 3)
+        .select("q_id", F.col("vec_id").alias("nn_id"), "adc_dist", "rn")
+    )
+
+
+def _sql_ann_pq() -> str:
+    c_q = _pq_qsub_duck("t.embedding", "ms.m")
+    v_q = _pq_qsub_duck("e.embedding", "c.m")
+    q_q = _pq_qsub_duck("q.q_emb", "c.m")
+    return f"""
+WITH ms AS (SELECT UNNEST([0, 1, 2, 3]) AS m),
+train AS (
+  SELECT (vec_id - 7) // 31 AS k, embedding FROM embeddings
+  WHERE vec_id < 496 AND vec_id % 31 = 7),
+cents AS (
+  SELECT t.k, ms.m, {c_q} AS c_q FROM train t CROSS JOIN ms),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT e.vec_id, c.m, c.k AS code,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id, c.m
+             ORDER BY {_pq_isq_duck(v_q, 'c.c_q')}, c.k) AS rn
+    FROM embeddings e CROSS JOIN cents c) t
+  WHERE rn = 1),
+q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+lut AS (
+  SELECT q.q_id, c.m, c.k, {_pq_isq_duck(q_q, 'c.c_q')} AS d
+  FROM q CROSS JOIN cents c),
+adc AS (
+  SELECT l.q_id, co.vec_id, SUM(l.d) AS adc_dist
+  FROM codes co JOIN lut l ON co.m = l.m AND co.code = l.k
+  WHERE co.vec_id <> l.q_id
+  GROUP BY l.q_id, co.vec_id)
+SELECT q_id, vec_id AS nn_id, CAST(adc_dist AS BIGINT) AS adc_dist, rn FROM (
+  SELECT q_id, vec_id, adc_dist,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rn
+  FROM adc) t
+WHERE rn <= 3
+"""
+
+
 SIMILARITY = {
     "embedding_cosine_topk": (q_cosine_topk, SQL_TOPK_COS),
     "ann_ivf_bucketed": (q_ann_bucketed, SQL_ANN_BUCKET),
     "ann_lsh_bucketed": (q_ann_lsh_bucketed, _sql_ann_lsh()),
+    "ann_pq_adc": (q_ann_pq_adc, _sql_ann_pq()),
     "semantic_dedup_twostage": (q_semantic_dedup, _sql_semantic_dedup()),
     "embedding_neardup_pairs": (q_embedding_neardup_pairs, _sql_neardup()),
     "kmeans_iter_assign": (q_kmeans_iter_assign, _sql_kmeans()),

@@ -46,6 +46,8 @@ BNLJ_OK = {
     "semdedup_cluster_prune",
     # k-centroid broadcast assignment feeding the per-cell cap window
     "cluster_balanced_sample",
+    # M*K-row codebook + Q*M*K-row query LUT broadcasts (PQ encode/ADC)
+    "ann_pq_adc",
 }
 
 
