@@ -40,6 +40,7 @@ HEADLINE = [
     "tumbling_window",
     "token_count",
     "token_count_bpe",
+    "bpe_merge_step",
     "quality_score",
     "fingerprint_doc",
     "shingle_jaccard_pairs",

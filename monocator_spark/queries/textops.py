@@ -2123,8 +2123,67 @@ FROM (SELECT doc_id,
 """
 
 
+def q_bpe_merge_step(spark, sf_dir):
+    """One BPE merge step — the tokenizer-TRAINING shape (GPT-2/SentencePiece
+    lineage): count adjacent character pairs across the corpus, weighted by
+    word frequency, and rank the top-20 merge candidates.
+
+    The 100 TB shape is the algorithm's own: the corpus collapses to the
+    DISTINCT-word vocabulary first (one map-side-combined (word, count)
+    shuffle — Zipf-bounded, ~|vocab| rows), and the character-pair explode
+    runs over the *vocabulary*, never the corpus — exactly how production
+    BPE trainers iterate (pair counts over the word-frequency table). The
+    final pair aggregate is tiny (≤ 26² keys here); ties break
+    lexicographically so both engines agree exactly.
+    """
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word"))
+        .where(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    pairs = (
+        words.select(
+            F.explode(
+                F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+            ).alias("pair"),
+            "wc",
+        )
+        .groupBy("pair")
+        .agg(F.sum("wc").alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("pair"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 20)
+        .select("rn", "pair", "cnt")
+    )
+
+
+SQL_BPE_MERGE = """
+WITH words AS (
+  SELECT w AS word, COUNT(*) AS wc FROM (
+    SELECT UNNEST(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+    FROM documents) t
+  WHERE length(w) >= 2 GROUP BY w),
+pairs_raw AS (
+  SELECT UNNEST(list_transform(range(1, length(word)),
+                               i -> substring(word, i, 2))) AS pair, wc
+  FROM words),
+pairs AS (SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt FROM pairs_raw GROUP BY pair)
+SELECT rn, pair, cnt FROM (
+  SELECT pair, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rn
+  FROM pairs) t
+WHERE rn <= 20
+"""
+
+
 TEXTOPS = {
     "ngram_topk": (q_ngram_topk, SQL_NGRAM_TOPK),
+    "bpe_merge_step": (q_bpe_merge_step, SQL_BPE_MERGE),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "vat_scrape_decision": (q_vat_scrape_decision, SQL_VAT_SCRAPE),
