@@ -710,6 +710,129 @@ FROM m
 """
 
 
+# -- CLIP-style image-text alignment gate (LAION assembly stage) ------------------
+# The canonical LAION-5B keep/drop decision: embed the image, embed the
+# caption, keep the pair iff cosine(image_emb, text_emb) clears a
+# threshold (LAION used CLIP similarity ≥ 0.28). The image embedding is
+# the `embeddings` table row joined on doc_id — a 1:1 equi-join on the
+# storage key (in production the vector is a sibling column of the same
+# row group; zero skew, co-partitioned). The caption embedding is derived
+# DETERMINISTICALLY from the caption text (first 12 tokens, like
+# caption_image_filter): dim d = Σ_tokens (md5long(token|d) % 201 − 100) —
+# a stand-in "text tower" both engines compute identically (the real
+# model isn't in the sandbox; same discipline as the imaging codec stub).
+#
+# Cross-engine exactness, PQ-op style (ann_pq_adc): the image vector is
+# fixed-point floor(x·1000), the caption vector is already integer, and
+# the τ=0.1 threshold test is integer cross-multiplied —
+#     cos ≥ τ  ⟺  dot ≥ 0  AND  100·dot² ≥ na·nb
+# so no float ever decides a verdict. Bounds: |img_i| ≤ 1000,
+# |cap_i| ≤ 1200 ⇒ dot ≤ 7.7e7, 100·dot² ≤ 5.9e17 < 2^63, na·nb ≤ 5.9e15
+# — every product exact in int64 (and in DuckDB's double dot-product,
+# < 2^53 before the bigint cast).
+#
+# Shape at 100 TB: scan-local expressions + one co-partitioned 1:1 join;
+# the gate runs on metadata-sized integers, not pixels, and drops ~80% of
+# pairs before any byte of image data moves.
+_CLIP_CAP_TOKENS = 12
+_CLIP_DIM = 64
+_CLIP_TAU_SQ100 = 1  # 100·τ² for τ = 0.1
+
+
+def q_clip_alignment_gate(spark, sf_dir):
+    ws = "filter(split(text, ' '), t -> t <> '')"
+    cap_dim = (
+        "aggregate(toks, cast(0 as bigint), (acc, t) -> acc + "
+        "cast(conv(substr(md5(concat(t, '|', cast(d as string))),1,15),16,10) as bigint)"
+        " % 201 - 100)"
+    )
+    d = (
+        T(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.expr(f"slice({ws}, 1, {_CLIP_CAP_TOKENS})").alias("toks"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(0, {_CLIP_DIM - 1}), d -> {cap_dim})"
+            ).alias("cap_vec"),
+        )
+    )
+    e = T(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.expr(
+            "transform(embedding, x -> cast(floor(cast(x as double) * 1000) as bigint))"
+        ).alias("img_vec"),
+    )
+    idot = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+        " cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+    j = d.join(e, "doc_id").select(
+        "doc_id",
+        F.expr(idot.format(a="img_vec", b="cap_vec")).alias("dot_q"),
+        F.expr(idot.format(a="img_vec", b="img_vec")).alias("na_q"),
+        F.expr(idot.format(a="cap_vec", b="cap_vec")).alias("nb_q"),
+    )
+    return j.select(
+        "doc_id",
+        "dot_q",
+        "na_q",
+        "nb_q",
+        (
+            (F.col("dot_q") >= 0)
+            & (
+                F.lit(100) * F.col("dot_q") * F.col("dot_q")
+                >= F.lit(_CLIP_TAU_SQ100) * F.col("na_q") * F.col("nb_q")
+            )
+        ).alias("aligned"),
+    )
+
+
+def _sql_clip_gate() -> str:
+    md5l = "CAST(('0x'||substr(md5(t || '|' || CAST(d AS VARCHAR)),1,15)) AS BIGINT)"
+
+    def ldp(x, y):
+        return (
+            "CAST(list_dot_product("
+            f"list_transform({x}, v -> CAST(v AS DOUBLE)),"
+            f" list_transform({y}, v -> CAST(v AS DOUBLE))) AS BIGINT)"
+        )
+
+    return f"""
+WITH cap AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), t -> t <> '')[1:{_CLIP_CAP_TOKENS}]
+           AS toks
+  FROM documents),
+capvec AS (
+  SELECT doc_id,
+         list_transform(range(0, {_CLIP_DIM}), d ->
+           CAST(COALESCE(list_sum(list_transform(toks,
+                  t -> {md5l} % 201 - 100)), 0) AS BIGINT)) AS cap_vec
+  FROM cap),
+imgvec AS (
+  SELECT vec_id AS doc_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS img_vec
+  FROM embeddings),
+scored AS (
+  SELECT c.doc_id,
+         {ldp('i.img_vec', 'c.cap_vec')} AS dot_q,
+         {ldp('i.img_vec', 'i.img_vec')} AS na_q,
+         {ldp('c.cap_vec', 'c.cap_vec')} AS nb_q
+  FROM capvec c JOIN imgvec i USING (doc_id))
+SELECT doc_id, dot_q, na_q, nb_q,
+       (dot_q >= 0 AND 100 * dot_q * dot_q >= {_CLIP_TAU_SQ100} * na_q * nb_q)
+         AS aligned
+FROM scored
+"""
+
+
+SQL_CLIP_GATE = _sql_clip_gate()
+
+
 IMAGING = {
     "phash_hamming_pairs": (q_phash_hamming_pairs, SQL_PHASH_PAIRS),
     "phash_dedup_groups": (q_phash_dedup_groups, SQL_PHASH_GROUPS),
@@ -719,4 +842,5 @@ IMAGING = {
     "image_quality_gate": (q_image_quality_gate, SQL_QUALITY_GATE),
     "image_aspect_bucket": (q_image_aspect_bucket, SQL_ASPECT_BUCKET),
     "caption_image_filter": (q_caption_image_filter, SQL_CAPTION_FILTER),
+    "clip_alignment_gate": (q_clip_alignment_gate, SQL_CLIP_GATE),
 }

@@ -421,7 +421,14 @@ _SHINGLE_PERSISTED: list = []
 
 def _persist_one_slot(df, slot: list = _SHINGLE_PERSISTED):
     while slot:
-        slot.pop().unpersist()
+        prev = slot.pop()
+        try:
+            prev.unpersist()
+        except Exception:
+            # The slot is module-global, so a DataFrame cached under a
+            # SparkSession that has since been stopped may still occupy it;
+            # its cache died with the session, so a failed unpersist is moot.
+            pass
     df = df.persist()
     slot.append(df)
     return df
@@ -1670,11 +1677,12 @@ FROM s
 # round count, never by data size). Output is O(docs): every document
 # mapped to its component-min representative, plus the cluster size the
 # curation decision actually keys on.
-def _connected_components(edges, spark):
+def _connected_components(edges, spark, rounds_out: list | None = None):
     """Min-label propagation: edges (src:long, dst:long, symmetric) →
     labels (node:long, lbl:long = component min). Returns a
     localCheckpoint-materialized DataFrame with no live lineage into
-    ``edges``."""
+    ``edges``. If ``rounds_out`` is given, the round count is appended to
+    it (diagnostics: rounds ≈ component diameter + 1)."""
     edges = edges.persist()
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -1682,7 +1690,9 @@ def _connected_components(edges, spark):
         .withColumn("lbl", F.col("node"))
         .localCheckpoint()
     )
+    rounds = 0
     while True:
+        rounds += 1
         nbr = edges.join(
             labels.select(F.col("node").alias("dst"), "lbl"), "dst"
         ).select(F.col("src").alias("node"), "lbl")
@@ -1701,6 +1711,8 @@ def _connected_components(edges, spark):
         if changed == 0:
             break
     edges.unpersist()
+    if rounds_out is not None:
+        rounds_out.append(rounds)
     return labels
 
 
@@ -2181,9 +2193,294 @@ WHERE rn <= 20
 """
 
 
+# -- Full BPE trainer loop (K merges) ----------------------------------------------
+# bpe_merge_step ranks ONE round's merge candidates; production tokenizer
+# training (GPT-2 / SentencePiece BPE) iterates: count pairs → pick the
+# best → rewrite the vocabulary with the merged symbol → repeat. This op
+# runs K=8 full iterations and returns the trained merge ruleset — the
+# actual artifact a tokenizer ships.
+#
+# Shape at 100 TB: identical to bpe_merge_step's — the corpus collapses to
+# the DISTINCT-word (word, count) vocabulary once, and every iteration
+# re-plans over that Zipf-bounded table, never the corpus. The only
+# driver-side data is ONE (pair, count) row per iteration (the argmax the
+# next plan is parameterized with — same bounded-collect discipline as
+# kmeans_iter_assign's centroid refresh), and each round's vocabulary is
+# localCheckpoint-materialized so round k+1's plan never re-expands rounds
+# 1..k. Merge semantics are the standard left-to-right non-overlapping
+# rewrite, expressed relationally: mark positions where (sym, next) equals
+# the chosen pair, split marks into consecutive runs (gaps-and-islands —
+# only same-symbol pairs can produce adjacent marks), keep odd-indexed
+# marks in each run ("aaa" merges to [aa, a], not [a, aa]), drop consumed
+# positions, renumber. Ties break (count DESC, left ASC, right ASC) so
+# both engines pick identical merges.
+_BPE_TRAIN_K = 8
+
+
+def _bpe_vocab(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word"))
+        .where(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+
+
+def q_bpe_train_k(spark, sf_dir, k: int = _BPE_TRAIN_K):
+    from pyspark.sql import Window
+
+    syms = _bpe_vocab(spark, sf_dir).select(
+        "word",
+        "wc",
+        F.posexplode(
+            F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+        ).alias("pos0", "sym"),
+    ).select("word", "wc", (F.col("pos0") + 1).alias("pos"), "sym")
+    syms = syms.localCheckpoint()
+
+    w_word = Window.partitionBy("word").orderBy("pos")
+    merges = []
+    for step in range(1, k + 1):
+        paired = syms.withColumn("nxt", F.lead("sym").over(w_word))
+        best = (
+            paired.where(F.col("nxt").isNotNull())
+            .groupBy("sym", "nxt")
+            .agg(F.sum("wc").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("sym"), F.asc("nxt"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, cnt = best[0]["sym"], best[0]["nxt"], int(best[0]["cnt"])
+        merges.append((step, a, b, a + b, cnt))
+        marked = paired.where((F.col("sym") == a) & (F.col("nxt") == b)).select(
+            "word", "pos"
+        )
+        isl = marked.withColumn(
+            "isl", F.col("pos") - F.row_number().over(w_word)
+        )
+        keep = (
+            isl.withColumn(
+                "rn2",
+                F.row_number().over(Window.partitionBy("word", "isl").orderBy("pos")),
+            )
+            .where(F.col("rn2") % 2 == 1)
+            .select("word", "pos")
+        )
+        km = keep.select(F.col("word").alias("kword"), F.col("pos").alias("kpos"))
+        consumed = keep.select(
+            F.col("word").alias("cword"), (F.col("pos") + 1).alias("cpos")
+        )
+        syms = (
+            syms.join(
+                km, (F.col("word") == F.col("kword")) & (F.col("pos") == F.col("kpos")), "left"
+            )
+            .join(
+                consumed,
+                (F.col("word") == F.col("cword")) & (F.col("pos") == F.col("cpos")),
+                "left_anti",
+            )
+            .select(
+                "word",
+                "wc",
+                F.col("pos").alias("opos"),
+                F.when(F.col("kpos").isNotNull(), F.concat("sym", F.lit(b)))
+                .otherwise(F.col("sym"))
+                .alias("sym"),
+            )
+            .withColumn(
+                "pos", F.row_number().over(Window.partitionBy("word").orderBy("opos"))
+            )
+            .select("word", "wc", "pos", "sym")
+            .localCheckpoint()
+        )
+    return spark.createDataFrame(
+        merges, "step bigint, left_sym string, right_sym string, merged string, cnt bigint"
+    )
+
+
+def _sql_bpe_train_k(k: int = _BPE_TRAIN_K) -> str:
+    """Unrolled K-stage DuckDB twin: plain CTE chain (no recursion needed —
+    K is a constant), one (pairs → best → marked → keep → syms) block per
+    merge, same gaps-and-islands odd-keep rewrite and identical tiebreaks."""
+    parts = [
+        """
+WITH words AS MATERIALIZED (
+  SELECT w AS word, COUNT(*) AS wc FROM (
+    SELECT UNNEST(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+    FROM documents) t
+  WHERE length(w) >= 2 GROUP BY w),
+syms0 AS MATERIALIZED (
+  SELECT word, wc, CAST(i AS BIGINT) AS pos,
+         substring(word, CAST(i AS INT), 1) AS sym
+  FROM (SELECT word, wc, UNNEST(range(1, length(word) + 1)) AS i FROM words))"""
+    ]
+    for s in range(1, k + 1):
+        p = s - 1
+        parts.append(f"""
+paired{s} AS MATERIALIZED (
+  SELECT word, wc, pos, sym,
+         LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+  FROM syms{p}),
+best{s} AS MATERIALIZED (
+  SELECT sym AS a, nxt AS b, CAST(SUM(wc) AS BIGINT) AS cnt
+  FROM paired{s} WHERE nxt IS NOT NULL
+  GROUP BY sym, nxt ORDER BY cnt DESC, a, b LIMIT 1),
+keep{s} AS MATERIALIZED (
+  SELECT word, pos FROM (
+    SELECT word, pos,
+           ROW_NUMBER() OVER (PARTITION BY word, isl ORDER BY pos) AS rn2
+    FROM (
+      SELECT word, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS isl
+      FROM paired{s}
+      WHERE sym = (SELECT a FROM best{s}) AND nxt = (SELECT b FROM best{s})) t1
+  ) t2 WHERE rn2 % 2 = 1),
+syms{s} AS MATERIALIZED (
+  SELECT word, wc,
+         CAST(ROW_NUMBER() OVER (PARTITION BY word ORDER BY opos) AS BIGINT) AS pos,
+         sym
+  FROM (
+    SELECT m.word, m.wc, m.pos AS opos,
+           CASE WHEN km.pos IS NOT NULL
+                THEN m.sym || (SELECT b FROM best{s}) ELSE m.sym END AS sym
+    FROM paired{s} m
+    LEFT JOIN keep{s} km ON km.word = m.word AND km.pos = m.pos
+    LEFT JOIN keep{s} kc ON kc.word = m.word AND kc.pos = m.pos - 1
+    WHERE kc.pos IS NULL) t)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({s} AS BIGINT) AS step, a AS left_sym, b AS right_sym,"
+        f" a || b AS merged, cnt FROM best{s}"
+        for s in range(1, k + 1)
+    )
+    return ",".join(parts) + "\n" + union
+
+
+SQL_BPE_TRAIN_K = _sql_bpe_train_k()
+
+
+# -- Connected components: large-star/small-star (O(log n) rounds) ------------------
+# The alternation from Kiveris et al. 2014 ("Connected Components in
+# MapReduce and Beyond"). _connected_components' min-label propagation
+# moves the component min ONE hop per round — right for LSH duplicate
+# families (near-cliques, diameter 2-3), wrong for adversarial chain
+# graphs where rounds = diameter = O(n). Large-star/small-star contracts
+# the graph toward stars instead: each round,
+#   large-star: every node a points its strictly-larger neighbors at
+#               m = min(N(a) ∪ {a})   — processed from the smaller
+#               endpoint of each edge, so every edge is covered;
+#   small-star: orient (big → small), then every node points its
+#               ≤-neighbors (and itself) at the same local min.
+# Both rewrites preserve connectivity (paper, Lemmas 1-2) and strictly
+# shrink non-star structure; convergence is O(log n) rounds, at which
+# point the edge set IS the (node → component-min) star mapping.
+#
+# Shape at 100 TB: each round is two (groupBy min + join) passes over the
+# edge list — the same per-round plan as propagation, with edges
+# localCheckpoint-materialized so lineage never re-expands; driver traffic
+# is one O(1) fingerprint row per round (count + xxhash sum) for the
+# convergence test. Rounds are O(log n) REGARDLESS of diameter, which is
+# the property that matters when the dup graph has long chains
+# (transitive near-dup families at corpus scale).
+def _connected_components_star(edges, spark, max_rounds: int = 64):
+    """edges (src:long, dst:long, symmetric) → (labels DataFrame
+    (node, lbl = component min), rounds:int). Output contract identical to
+    `_connected_components`."""
+    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    E = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_fp = None
+    rounds = 0
+    while rounds < max_rounds:
+        rounds += 1
+        sym = E.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
+            E.select(F.col("v").alias("a"), F.col("u").alias("b"))
+        )
+        nbrmin = sym.groupBy("a").agg(F.min("b").alias("mb"))
+        # large-star, processed from each edge's smaller endpoint a:
+        # neighbors b > a point at m = min(N(a) ∪ {a})
+        ls = (
+            sym.join(nbrmin, "a")
+            .where(F.col("b") > F.col("a"))
+            .select(
+                F.col("b").alias("u"),
+                F.least(F.col("a"), F.col("mb")).alias("v"),
+            )
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over the (already big→small oriented) large-star
+        # output: u and all its ≤-neighbors point at their local min
+        nbrmin2 = ls.groupBy("u").agg(F.min("v").alias("mv"))
+        ss_self = nbrmin2.select(F.col("u").alias("uu"), F.col("mv"))
+        ss_nbrs = (
+            ls.join(nbrmin2, "u")
+            .where(F.col("v") != F.col("mv"))
+            .select(F.col("v").alias("uu"), F.col("mv"))
+        )
+        E = (
+            ss_self.unionByName(ss_nbrs)
+            .where(F.col("uu") != F.col("mv"))
+            .select(F.col("uu").alias("u"), F.col("mv").alias("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        row = E.agg(
+            F.count(F.lit(1)).alias("n"),
+            # xor-fold, not sum: overflow-free (ANSI mode) and exact on the
+            # distinct edge set; order-insensitive like any commutative agg
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        fp = (row["n"], row["h"])
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    labels = (
+        nodes.join(
+            E.select(F.col("u").alias("node"), F.col("v").alias("lbl")), "node", "left"
+        )
+        .select("node", F.coalesce("lbl", F.col("node")).alias("lbl"))
+        .localCheckpoint()
+    )
+    return labels, rounds
+
+
+def q_dedup_cc_largestar(spark, sf_dir):
+    """Same output contract (and same DuckDB oracle) as
+    dedup_connected_components, computed by the O(log n)-round
+    large-star/small-star alternation instead of min-label propagation."""
+    from pyspark.sql import Window
+
+    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("doc1").alias("src"), F.col("doc2").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc2").alias("src"), F.col("doc1").alias("dst"))
+    )
+    labels, _rounds = _connected_components_star(edges, spark)
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    mapped = d.join(
+        labels.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).select("doc_id", F.coalesce("lbl", F.col("doc_id")).alias("rep_id"))
+    return mapped.select(
+        "doc_id",
+        "rep_id",
+        (F.col("doc_id") > F.col("rep_id")).alias("is_dup"),
+        F.count(F.lit(1)).over(Window.partitionBy("rep_id")).alias("cluster_size"),
+    )
+
+
 TEXTOPS = {
     "ngram_topk": (q_ngram_topk, SQL_NGRAM_TOPK),
     "bpe_merge_step": (q_bpe_merge_step, SQL_BPE_MERGE),
+    "bpe_train_k": (q_bpe_train_k, SQL_BPE_TRAIN_K),
+    "dedup_cc_largestar": (q_dedup_cc_largestar, SQL_DEDUP_CC),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "vat_scrape_decision": (q_vat_scrape_decision, SQL_VAT_SCRAPE),

@@ -25,6 +25,12 @@ def get_spark(
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # NOTE: the scaling bench (scripts/run_scaling.py) deliberately
+        # DISABLES AQE for its counterbalanced pairings — runtime
+        # re-planning makes the physical plan a function of observed sizes,
+        # which breaks the "identical plan at N and 4N cores" premise of
+        # the efficiency measurement (rationale in BENCH/BASELINE.md).
+        # Both defaults are intentional; don't "fix" one to match the other.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -37,15 +43,17 @@ def get_spark(
         # +16% crawl throughput in the payload-bound regime with it off)
         .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
         # zstd for shuffle/broadcast/spill (default lz4): the crawl's
-        # shuffled data is URL/host strings + longs, which zstd shrinks
-        # ~40% further than lz4 for a few extra CPU cycles — cycles the
-        # engine has (the byte pass is Arrow-vectorized), while shuffle
-        # bytes ride the machine's scarcest shared resources (page cache,
-        # DRAM bandwidth, local disk). Measured back-to-back on the
-        # 6M-image world (BENCH/attempts/ab_codec_*): +5% at 4 cores,
-        # +95-100% at 16 cores in IO-contended windows, outputs
-        # byte-identical. Same reasoning as a real cluster's
-        # spark.io.compression.codec=zstd default for shuffle-heavy jobs.
+        # shuffled data is URL/host strings + longs, which zstd compresses
+        # harder than lz4 for a few extra CPU cycles — cycles the engine
+        # has (the byte pass is Arrow-vectorized), while shuffle bytes ride
+        # the machine's scarcest shared resources (page cache, DRAM
+        # bandwidth, local disk). A/B evidence (BENCH/BASELINE.md
+        # round-3b/round-4): +5% at 4 cores; up to ~2x observed at
+        # 16 cores in IO-contended windows (small-n, window-sensitive —
+        # see the filed reps); outputs byte-identical in every pairing and
+        # worst measured case ~-10%, so the default is safe either way.
+        # Same reasoning as a real cluster's zstd default for
+        # shuffle-heavy jobs.
         .config("spark.io.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -81,10 +81,14 @@ def disk_work(args):
             f.write(chunk.tobytes())
             f.flush()
             os.fsync(f.fileno())
+            # Evict the (now clean) pages so the read-back below hits the
+            # device, not the page cache — without this the read half
+            # measures DRAM and inflates the reported "disk" MB/s.
+            os.posix_fadvise(f.fileno(), 0, 0, os.POSIX_FADV_DONTNEED)
             f.seek(0)
             while f.read(1 << 22):
                 pass
-            mb += 64  # 32 written + 32 read
+            mb += 64  # 32 written+fsynced + 32 read (cache-evicted)
     return mb
 
 

@@ -1,0 +1,61 @@
+"""Full BPE trainer loop (bpe_train_k) vs a pure-Python Counter trainer.
+
+The Python twin is the textbook GPT-2-style loop: count adjacent symbol
+pairs over the (word, count) vocabulary, merge the argmax pair
+left-to-right non-overlapping, repeat. Ties break (count DESC, left ASC,
+right ASC) — the same rule both engines pin.
+"""
+import re
+import sys
+from collections import Counter
+from pathlib import Path
+
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _python_bpe(texts, k):
+    vocab = Counter()
+    for t in texts:
+        for w in re.split("[^a-z]+", t.lower()):
+            if len(w) >= 2:
+                vocab[w] += 1
+    seqs = {w: list(w) for w in vocab}
+    merges = []
+    for step in range(1, k + 1):
+        pairs = Counter()
+        for w, syms in seqs.items():
+            wc = vocab[w]
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += wc
+        if not pairs:
+            break
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, a, b, a + b, cnt))
+        for w, syms in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+def test_bpe_train_k_matches_python_trainer(spark):
+    from monocator_spark.queries.textops import _BPE_TRAIN_K, q_bpe_train_k
+
+    texts = pd.read_parquet(f"{SF_DIR}/documents.parquet")["text"].tolist()
+    expected = _python_bpe(texts, _BPE_TRAIN_K)
+    got = [
+        (r["step"], r["left_sym"], r["right_sym"], r["merged"], r["cnt"])
+        for r in q_bpe_train_k(spark, SF_DIR).orderBy("step").collect()
+    ]
+    assert got == expected
+    assert len(got) == _BPE_TRAIN_K
