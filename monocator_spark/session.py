@@ -21,8 +21,15 @@ def get_spark(
 ) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 8)
+    # MONO_SPARK_MASTER overrides the master URL ({cores} is substituted) —
+    # used by scripts/run_scaling.py --local-cluster to run the SAME job on
+    # local-cluster[N,1,mem]: separate executor JVMs with real serialized
+    # shuffle fetch over loopback, the closest this sandbox gets to a
+    # multi-executor cluster.
+    master_tpl = os.environ.get("MONO_SPARK_MASTER", "")
+    master = master_tpl.format(cores=cores) if master_tpl else f"local[{cores}]"
     b = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # NOTE: the scaling bench (scripts/run_scaling.py) deliberately

@@ -105,7 +105,8 @@ def run_level(args: argparse.Namespace, cores: int) -> dict:
     each level a hard core budget — the same isolation a real cluster's
     executor cgroups provide, which is what the N-vs-4N criterion models.
     """
-    out = REPO / "BENCH" / f"crawl_c{cores}.json"
+    prefix = "crawl_lc" if getattr(args, "local_cluster", False) else "crawl_c"
+    out = REPO / "BENCH" / f"{prefix}{cores}.json"
     cmd = [
         "taskset", "-c", f"0-{cores - 1}",
         sys.executable, str(REPO / "scripts" / "bench_crawl.py"),
@@ -129,8 +130,27 @@ def run_level(args: argparse.Namespace, cores: int) -> dict:
     # level spills, so the measured "inefficiency" is the subsidy, not the
     # engine. AQE off: its extra query-stage jobs cost more driver latency
     # than they save on this fixed-partitioning job.
-    env.setdefault("SPARK_DRIVER_MEM", f"{args.mem_per_core * cores}g")
-    env.setdefault("MONO_SPARK_CONF", "spark.sql.adaptive.enabled=false")
+    if getattr(args, "local_cluster", False):
+        # Multi-JVM rung: N separate 1-core executor JVMs (workers sized
+        # mem_per_core + 1 GB overhead each, executor heap = mem_per_core),
+        # real serialized shuffle fetch over loopback. Per-executor memory
+        # is constant across levels — total memory grows with executor
+        # count, exactly like the real N→4N cluster the criterion names.
+        # The driver JVM only coordinates here, so it gets a flat 6 GB.
+        env.setdefault(
+            "MONO_SPARK_MASTER",
+            f"local-cluster[{{cores}},1,{(args.mem_per_core + 1) * 1024}]",
+        )
+        env.setdefault("SPARK_DRIVER_MEM", "6g")
+        env.setdefault(
+            "MONO_SPARK_CONF",
+            "spark.sql.adaptive.enabled=false"
+            f";spark.executor.memory={args.mem_per_core}g"
+            f";spark.executorEnv.PYTHONPATH={REPO}",
+        )
+    else:
+        env.setdefault("SPARK_DRIVER_MEM", f"{args.mem_per_core * cores}g")
+        env.setdefault("MONO_SPARK_CONF", "spark.sql.adaptive.enabled=false")
     env.setdefault("MONO_EPOCH_TIMING", "1")
     print(f"--- running cores={cores}: {' '.join(cmd)}", flush=True)
     subprocess.run(cmd, check=True, env=env)
@@ -164,6 +184,9 @@ def main() -> None:
                          "a real cluster's per-executor memory)")
     ap.add_argument("--noop-validate", action="store_true",
                     help="measurement A/B: pure-Catalyst status, no decode UDF")
+    ap.add_argument("--local-cluster", action="store_true",
+                    help="run each level on local-cluster[N,1,mem] (separate "
+                         "executor JVMs + real shuffle fetch) instead of local[N]")
     args = ap.parse_args()
 
     from scripts.gen_world import ensure_world
