@@ -101,6 +101,7 @@ class FakeIcebergSession:
     def __init__(self):
         self.tables: dict[str, dict] = {}
         self._next_snap = 1000  # opaque, NOT ordered with wall time
+        self.calls: list[tuple] = []  # (op, table, *args) audit trail
 
     # -- write path ------------------------------------------------------------
     def _write(self, tbl, rows, replace):
@@ -188,10 +189,12 @@ class FakeIcebergSession:
             tbl, snap = m.group(1), int(m.group(2))
             assert snap in self.tables[tbl]["snapshots"], "unknown snapshot"
             self.tables[tbl]["current"] = snap
+            self.calls.append(("rollback", tbl, snap))
             return FakeDF(self, [])
         m = re.match(r"DROP TABLE IF EXISTS (\S+)", q)
         if m:
             self.tables.pop(m.group(1), None)
+            self.calls.append(("drop", m.group(1)))
             return FakeDF(self, [])
         raise AssertionError(f"fake session: unexpected SQL {q!r}")
 
@@ -349,3 +352,41 @@ def test_stage_append_propagates_real_failures(fake):
     bad = ExplodingDF(fake, [{"x": 1}])
     with pytest.raises(RuntimeError, match="schema drift"):
         store.stage_append("t", bad, 1)
+
+
+def test_reconcile_branches_explicit(fake):
+    """The two `_reconcile` repair actions, asserted by MECHANISM (the
+    catalog calls issued), not just by end-state row counts:
+
+    1. rollback-to-pin — a pinned table whose head ran ahead (crashed
+       epoch's append) gets exactly ONE rollback_to_snapshot(tbl, pin) on
+       the session's first write, and none on subsequent writes
+       (once-per-table discipline);
+    2. drop-unpinned — a table that exists only through unpinned writes is
+       DROPped and recreated on first touch."""
+    store = IcebergStore(fake)
+    store.stage_overwrite("t", fake.range(3).toDF("x"), 0)
+    store.commit(0, {"crawl_epoch": -1})
+    pin = fake.tables[store._tbl("t")]["current"]
+    store.stage_append("t", fake.range(3, 5).toDF("x"), 1)  # dies pre-commit
+    store.stage_append("u", fake.range(4).toDF("x"), 1)     # unpinned table
+    del store
+
+    resumed = IcebergStore(fake)
+    fake.calls.clear()
+
+    # branch 1: rollback to the committed pin, exactly once
+    resumed.stage_append("t", fake.range(3, 5).toDF("x"), 1)
+    assert fake.calls == [("rollback", resumed._tbl("t"), pin)]
+    resumed.stage_append("t", fake.range(5, 6).toDF("x"), 1)
+    assert fake.calls == [("rollback", resumed._tbl("t"), pin)]  # no repeat
+
+    # branch 2: unpinned table is dropped, then recreated by the append
+    fake.calls.clear()
+    resumed.stage_append("u", fake.range(4).toDF("x"), 1)
+    assert fake.calls == [("drop", resumed._tbl("u"))]
+    assert fake.tables[resumed._tbl("u")]["current"] is not None
+
+    resumed.commit(1, {"crawl_epoch": 0})
+    assert resumed.load(fake, "t").count() == 6  # 3 + 2 + 1, no resurrection
+    assert resumed.load(fake, "u").count() == 4
