@@ -41,6 +41,7 @@ HEADLINE = [
     "token_count",
     "token_count_bpe",
     "bpe_merge_step",
+    "bpe_train_k",
     "quality_score",
     "fingerprint_doc",
     "shingle_jaccard_pairs",
@@ -77,6 +78,7 @@ HEADLINE = [
     "dedup_keep_best",
     "perplexity_bucket",
     "dedup_connected_components",
+    "dedup_cc_largestar",
     "substring_dedup_spans",
     "domain_cap_sample",
     "mix_weights_epochs",
@@ -88,6 +90,7 @@ HEADLINE = [
     "image_quality_gate",
     "image_aspect_bucket",
     "caption_image_filter",
+    "clip_alignment_gate",
     "frame_sample_stub",
     "audio_window_energy",
     "bm25_topk",
