@@ -49,18 +49,15 @@ def get_spark(
         # columnar-cache compression on them is a pure codec tax (measured:
         # +16% crawl throughput in the payload-bound regime with it off)
         .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
-        # zstd for shuffle/broadcast/spill (default lz4): the crawl's
-        # shuffled data is URL/host strings + longs, which zstd compresses
-        # harder than lz4 for a few extra CPU cycles — cycles the engine
-        # has (the byte pass is Arrow-vectorized), while shuffle bytes ride
-        # the machine's scarcest shared resources (page cache, DRAM
-        # bandwidth, local disk). A/B evidence (BENCH/BASELINE.md
-        # round-3b/round-4): +5% at 4 cores; up to ~2x observed at
-        # 16 cores in IO-contended windows (small-n, window-sensitive —
-        # see the filed reps); outputs byte-identical in every pairing and
-        # worst measured case ~-10%, so the default is safe either way.
-        # Same reasoning as a real cluster's zstd default for
-        # shuffle-heavy jobs.
+        # zstd for shuffle/broadcast/spill (default lz4). Measured on this
+        # workload (BENCH/BASELINE.md round-4, 3 counterbalanced pairs per
+        # width, all reps filed): shuffle bytes shrink to 0.664x lz4
+        # (identical records + checksums), throughput NEUTRAL on this box
+        # (median pair ratios 0.992 at 4 cores, 0.957 at 16 — within the
+        # window noise; round 3b's "+5%/~2x" readings were window
+        # artifacts at n<=2). Kept because the byte shrink is the real,
+        # deterministic effect: on a multi-executor cluster shuffle bytes
+        # traverse the network, which is where this codec choice pays.
         .config("spark.io.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

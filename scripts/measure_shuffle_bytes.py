@@ -34,6 +34,10 @@ def run_leg(codec: str, args) -> dict:
     env["MONO_SPARK_CONF"] = (
         "spark.sql.adaptive.enabled=false"
         f";spark.io.compression.codec={codec}"
+        # plain-text event log so the parse below needs no codec lib —
+        # NOTE this also keeps the measured shuffle codec from touching
+        # the event log itself
+        ";spark.eventLog.compress=false"
     )
     env["SPARK_EVENTLOG_DIR"] = ev_dir
     cmd = [
@@ -46,7 +50,9 @@ def run_leg(codec: str, args) -> dict:
     ]
     subprocess.run(cmd, check=True, env=env)
     wr = rd = recs = 0
-    for log in Path(ev_dir).glob("*"):
+    for log in Path(ev_dir).rglob("*"):
+        if not log.is_file() or not log.name.startswith("events"):
+            continue
         for line in open(log, errors="replace"):
             if '"Event":"SparkListenerTaskEnd"' not in line.replace(" ", ""):
                 continue
