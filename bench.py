@@ -42,6 +42,7 @@ HEADLINE = [
     "token_count_bpe",
     "bpe_merge_step",
     "bpe_train_k",
+    "bpe_vocab_stats",
     "quality_score",
     "fingerprint_doc",
     "shingle_jaccard_pairs",

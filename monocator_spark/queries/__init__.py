@@ -51,7 +51,7 @@ _CHEAPEST_FIRST = [
     "semantic_dedup_twostage", "approx_distinct", "politeness_quota",
     "bloom_build_stats", "dns_fanout_records", "tumbling_window_stream",
     "shingle_jaccard_pairs", "dedup_connected_components",
-    "dedup_cc_largestar", "bpe_train_k",
+    "bpe_vocab_stats", "dedup_cc_largestar", "bpe_train_k",
 ]
 
 _ALL: dict[str, tuple] = {}

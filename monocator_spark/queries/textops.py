@@ -2227,7 +2227,8 @@ def _bpe_vocab(spark, sf_dir):
     )
 
 
-def q_bpe_train_k(spark, sf_dir, k: int = _BPE_TRAIN_K):
+def _bpe_train(spark, sf_dir, k: int = _BPE_TRAIN_K):
+    """Run the K-merge trainer loop; returns (merges list, final syms DF)."""
     from pyspark.sql import Window
 
     syms = _bpe_vocab(spark, sf_dir).select(
@@ -2296,8 +2297,35 @@ def q_bpe_train_k(spark, sf_dir, k: int = _BPE_TRAIN_K):
             .select("word", "wc", "pos", "sym")
             .localCheckpoint()
         )
+    return merges, syms
+
+
+def q_bpe_train_k(spark, sf_dir, k: int = _BPE_TRAIN_K):
+    merges, _syms = _bpe_train(spark, sf_dir, k)
     return spark.createDataFrame(
         merges, "step bigint, left_sym string, right_sym string, merged string, cnt bigint"
+    )
+
+
+def q_bpe_vocab_stats(spark, sf_dir, k: int = _BPE_TRAIN_K, topn: int = 30):
+    """The APPLY side of the trained tokenizer: corpus token-frequency
+    stats after the K merges — per final token, its corpus frequency
+    (occurrences weighted by word count) and frequency rank, top-30. This
+    is the vocabulary histogram a tokenizer build ships next to its merge
+    ruleset (coverage/compression diagnostics). Same vocab-not-corpus
+    shape as the trainer; the final aggregate is one map-side-combined
+    groupBy over the rewritten symbol table."""
+    from pyspark.sql import Window
+
+    _merges, syms = _bpe_train(spark, sf_dir, k)
+    freq = syms.groupBy(F.col("sym").alias("token")).agg(
+        F.sum("wc").alias("freq")
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    return (
+        freq.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= topn)
+        .select("rank", "token", "freq")
     )
 
 
@@ -2350,15 +2378,36 @@ syms{s} AS MATERIALIZED (
     LEFT JOIN keep{s} km ON km.word = m.word AND km.pos = m.pos
     LEFT JOIN keep{s} kc ON kc.word = m.word AND kc.pos = m.pos - 1
     WHERE kc.pos IS NULL) t)""")
+    return ",".join(parts)
+
+
+def _sql_bpe_train_final(k: int = _BPE_TRAIN_K) -> str:
     union = "\nUNION ALL\n".join(
         f"SELECT CAST({s} AS BIGINT) AS step, a AS left_sym, b AS right_sym,"
         f" a || b AS merged, cnt FROM best{s}"
         for s in range(1, k + 1)
     )
-    return ",".join(parts) + "\n" + union
+    return _sql_bpe_train_k(k) + "\n" + union
 
 
-SQL_BPE_TRAIN_K = _sql_bpe_train_k()
+def _sql_bpe_vocab_stats(k: int = _BPE_TRAIN_K, topn: int = 30) -> str:
+    return (
+        _sql_bpe_train_k(k)
+        + f"""
+, freq AS (
+  SELECT sym AS token, CAST(SUM(wc) AS BIGINT) AS freq
+  FROM syms{k} GROUP BY sym)
+SELECT rank, token, freq FROM (
+  SELECT token, freq,
+         CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rank
+  FROM freq) t
+WHERE rank <= {topn}
+"""
+    )
+
+
+SQL_BPE_TRAIN_K = _sql_bpe_train_final()
+SQL_BPE_VOCAB_STATS = _sql_bpe_vocab_stats()
 
 
 # -- Connected components: large-star/small-star (O(log n) rounds) ------------------
@@ -2480,6 +2529,7 @@ TEXTOPS = {
     "ngram_topk": (q_ngram_topk, SQL_NGRAM_TOPK),
     "bpe_merge_step": (q_bpe_merge_step, SQL_BPE_MERGE),
     "bpe_train_k": (q_bpe_train_k, SQL_BPE_TRAIN_K),
+    "bpe_vocab_stats": (q_bpe_vocab_stats, SQL_BPE_VOCAB_STATS),
     "dedup_cc_largestar": (q_dedup_cc_largestar, SQL_DEDUP_CC),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),

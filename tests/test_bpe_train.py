@@ -48,6 +48,29 @@ def _python_bpe(texts, k):
     return merges
 
 
+def _python_bpe_full(texts, k):
+    """Same trainer, but also returns the final symbol sequences."""
+    vocab = Counter()
+    for t in texts:
+        for w in re.split("[^a-z]+", t.lower()):
+            if len(w) >= 2:
+                vocab[w] += 1
+    seqs = {w: list(w) for w in vocab}
+    merges = _python_bpe(texts, k)
+    for _step, a, b, _m, _c in merges:
+        for w, syms in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[w] = out
+    return merges, vocab, seqs
+
+
 def test_bpe_train_k_matches_python_trainer(spark):
     from monocator_spark.queries.textops import _BPE_TRAIN_K, q_bpe_train_k
 
@@ -59,3 +82,25 @@ def test_bpe_train_k_matches_python_trainer(spark):
     ]
     assert got == expected
     assert len(got) == _BPE_TRAIN_K
+
+
+def test_bpe_vocab_stats_matches_python_trainer(spark):
+    from monocator_spark.queries.textops import _BPE_TRAIN_K, q_bpe_vocab_stats
+
+    texts = pd.read_parquet(f"{SF_DIR}/documents.parquet")["text"].tolist()
+    _merges, vocab, seqs = _python_bpe_full(texts, _BPE_TRAIN_K)
+    freq = Counter()
+    for w, syms in seqs.items():
+        for s in syms:
+            freq[s] += vocab[w]
+    expected = [
+        (i + 1, tok, cnt)
+        for i, (tok, cnt) in enumerate(
+            sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+        )
+    ]
+    got = [
+        (r["rank"], r["token"], r["freq"])
+        for r in q_bpe_vocab_stats(spark, SF_DIR).orderBy("rank").collect()
+    ]
+    assert got == expected
