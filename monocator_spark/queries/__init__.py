@@ -6,11 +6,17 @@ is DuckDB dialect over the same parquet views. Column names and types are
 aligned pairwise — the driver hash-compares values after sorting columns by
 name.
 
-Iteration order is CHEAPEST-FIRST (measured at sf0.01, scripts/
-check_oracles.py): if the driver's correctness harness time-boxes its run,
-ascending-cost order maximizes the number of queries that land in its
-hard-signal file. Names missing from the measured list (future additions)
-sort last in module order.
+Iteration order is LEAST-RECENTLY-VERIFIED-FIRST, then cheapest-first: a
+time-boxed (or row-capped) correctness harness then covers the queries with
+the weakest verification history before re-testing ones already covered, so
+the union of per-round hard-signal files converges to full-registry coverage
+in the fewest rounds. Tiers (computed from CORRECTNESS_r01-r04 coverage):
+  1. queries with no driver-verified row in any prior round (incl. new ops),
+  2. queries last verified in r03,
+  3. everything else, ascending measured cost (sf0.01, scripts/
+     check_oracles.py) — fail-fast cheapest-first under any time budget.
+Both lists are validated against the registry at import time: a rename or
+typo raises instead of silently demoting a query to the tail.
 """
 
 from monocator_spark.queries.crawlops import CRAWLOPS
@@ -54,14 +60,53 @@ _CHEAPEST_FIRST = [
     "bpe_vocab_stats", "dedup_cc_largestar", "bpe_train_k",
 ]
 
+# Tier 1: no driver-verified correctness row in ANY of rounds 1-4 (the 14
+# stragglers VERDICT r4 lists), plus ops new in round 5 — these must land
+# inside the driver's 50-row window this round. Cheapest-first within tier.
+_NEVER_DRIVER_TESTED = [
+    "clip_alignment_gate", "dedup_stream_first_seen", "bm25_topk",
+    "kmeans_iter_assign", "substring_dedup_spans", "embedding_neardup_pairs",
+    "ann_pq_adc", "dedup_keep_best", "semdedup_cluster_prune",
+    "tumbling_window_stream", "dedup_connected_components",
+    "bpe_vocab_stats", "dedup_cc_largestar", "bpe_train_k",
+    # new in round 5:
+    "dedup_incremental_newbatch", "bpe_tokenize_docs",
+]
+
+# Tier 2: last driver-verified in r03 (rotated out of r04's 50-row window).
+_LAST_VERIFIED_R03 = [
+    "contamination_ngram", "ngram_topk", "rollup_groupsets", "set_except",
+    "vat_scrape_decision", "dedup_anti_join", "group_quantiles_exact",
+    "lineage_rollup", "minhash_signature", "range_join_window",
+    "simhash_hamming_pairs", "tls_fanout_map", "winsorized_stats_group",
+    "broadcast_join_agg", "minhash_lsh_pairs", "approx_distinct",
+    "politeness_quota", "bloom_build_stats", "dns_fanout_records",
+    "shingle_jaccard_pairs",
+]
+
 _ALL: dict[str, tuple] = {}
 for part in (RELATIONAL, TEXTOPS, SIMILARITY, IMAGING, STREAMING, CRAWLOPS):
     _ALL.update(part)
 
-_rank = {n: i for i, n in enumerate(_CHEAPEST_FIRST)}
+# Fail fast on a rename/typo: every priority-list name must exist in the
+# registry, and the measured-cost list must cover the registry exactly
+# (minus names that only appear in a priority tier, e.g. round-5 additions).
+_prioritized = set(_NEVER_DRIVER_TESTED) | set(_LAST_VERIFIED_R03)
+assert _prioritized <= set(_ALL), sorted(_prioritized - set(_ALL))
+assert set(_CHEAPEST_FIRST) <= set(_ALL), sorted(set(_CHEAPEST_FIRST) - set(_ALL))
+assert set(_ALL) <= set(_CHEAPEST_FIRST) | _prioritized, sorted(
+    set(_ALL) - set(_CHEAPEST_FIRST) - _prioritized
+)
+
+_rank: dict[str, tuple] = {}
+for i, n in enumerate(_CHEAPEST_FIRST):
+    _rank[n] = (2, i)
+for i, n in enumerate(_LAST_VERIFIED_R03):
+    _rank[n] = (1, i)
+for i, n in enumerate(_NEVER_DRIVER_TESTED):
+    _rank[n] = (0, i)
 REGISTRY: dict[str, tuple] = {
-    name: _ALL[name]
-    for name in sorted(_ALL, key=lambda n: (_rank.get(n, len(_rank)),))
+    name: _ALL[name] for name in sorted(_ALL, key=lambda n: _rank[n])
 }
 
 

@@ -772,18 +772,35 @@ def q_clip_alignment_gate(spark, sf_dir):
             ).alias("vec"),
         )
     )
+    # Left-join the summed caption vector back onto documents, coalescing
+    # missing dims to 0: a doc whose caption yields ZERO tokens (empty/
+    # whitespace/NULL text) must still gate — with a zero cap_vec, exactly
+    # like the oracle's COALESCE(list_sum(...), 0) — instead of silently
+    # vanishing through the explode. Such docs then fail the nb_q > 0 term
+    # of the verdict below on both engines.
     d = (
-        inst.join(vocab, "tok")
-        .groupBy("doc_id")
-        .agg(
-            *[
-                F.sum(F.col("cnt") * F.expr(f"vec[{i}]")).alias(f"c{i}")
-                for i in range(_CLIP_DIM)
-            ]
+        T(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(
+            inst.join(vocab, "tok")
+            .groupBy("doc_id")
+            .agg(
+                *[
+                    F.sum(F.col("cnt") * F.expr(f"vec[{i}]")).alias(f"c{i}")
+                    for i in range(_CLIP_DIM)
+                ]
+            ),
+            "doc_id",
+            "left",
         )
         .select(
             "doc_id",
-            F.array(*[F.col(f"c{i}") for i in range(_CLIP_DIM)]).alias("cap_vec"),
+            F.array(
+                *[
+                    F.coalesce(F.col(f"c{i}"), F.lit(0).cast("long"))
+                    for i in range(_CLIP_DIM)
+                ]
+            ).alias("cap_vec"),
         )
     )
     e = T(spark, sf_dir, "embeddings").select(
@@ -802,13 +819,17 @@ def q_clip_alignment_gate(spark, sf_dir):
         F.expr(idot.format(a="img_vec", b="img_vec")).alias("na_q"),
         F.expr(idot.format(a="cap_vec", b="cap_vec")).alias("nb_q"),
     )
+    # nb_q > 0 guard: a zero caption vector (degenerate caption, or a full
+    # hash cancellation) has no direction, so cos is undefined — the gate
+    # rejects it rather than letting 0 >= na·0 vacuously pass.
     return j.select(
         "doc_id",
         "dot_q",
         "na_q",
         "nb_q",
         (
-            (F.col("dot_q") >= 0)
+            (F.col("nb_q") > 0)
+            & (F.col("dot_q") >= 0)
             & (
                 F.lit(100) * F.col("dot_q") * F.col("dot_q")
                 >= F.lit(_CLIP_TAU_SQ100) * F.col("na_q") * F.col("nb_q")
@@ -851,7 +872,8 @@ scored AS (
          {ldp('c.cap_vec', 'c.cap_vec')} AS nb_q
   FROM capvec c JOIN imgvec i USING (doc_id))
 SELECT doc_id, dot_q, na_q, nb_q,
-       (dot_q >= 0 AND 100 * dot_q * dot_q >= {_CLIP_TAU_SQ100} * na_q * nb_q)
+       (nb_q > 0 AND dot_q >= 0
+        AND 100 * dot_q * dot_q >= {_CLIP_TAU_SQ100} * na_q * nb_q)
          AS aligned
 FROM scored
 """

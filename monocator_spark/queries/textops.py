@@ -424,11 +424,25 @@ def _persist_one_slot(df, slot: list = _SHINGLE_PERSISTED):
         prev = slot.pop()
         try:
             prev.unpersist()
-        except Exception:
+        except Exception as exc:
             # The slot is module-global, so a DataFrame cached under a
             # SparkSession that has since been stopped may still occupy it;
-            # its cache died with the session, so a failed unpersist is moot.
-            pass
+            # its cache died with the session, so THAT failure is moot —
+            # swallow silently only when the owning context is gone.
+            # Anything else (a live-session failure) is surfaced in the log
+            # rather than silently discarded.
+            try:
+                ctx_stopped = prev.sparkSession.sparkContext._jsc is None
+            except Exception:
+                ctx_stopped = True
+            if not ctx_stopped:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "unpersist of previous cached shingle table failed on a "
+                    "live session: %s",
+                    exc,
+                )
     df = df.persist()
     slot.append(df)
     return df
@@ -618,6 +632,138 @@ SELECT b.doc_id, MIN(g.grp_rep) AS rep_id,
        (b.doc_id > MIN(g.grp_rep)) AS is_dup
 FROM bands b JOIN grp g ON b.band = g.band AND b.h0 = g.h0 AND b.h1 = g.h1
 GROUP BY b.doc_id
+"""
+
+
+# -- Incremental dedup: new batch vs persisted MinHash band index ------------------
+# The production dedup SHAPE the one-shot ops above lack: "dedupe this
+# month's crawl against the existing 100 TB corpus". The existing corpus is
+# represented ONLY by its persisted band index — (band, h0, h1) bucket →
+# representative doc — the same state-table discipline as the crawl's
+# url_seen shards (operators/dedup.py:78): the index is built once, the old
+# corpus text is never re-shingled, and each incoming batch touches the old
+# side at band-BUCKET granularity (an equi-join on the band key), never at
+# document granularity.
+#
+# Shape at 100 TB: the new batch (≪ corpus) computes its own signatures
+# scan-locally; the only joins are (a) new-bands ⋈ index on the uniform
+# 60-bit band key — AQE picks broadcast when the batch is small — and
+# (b) a window-min among the batch's own bands for new-vs-new dedup. Output
+# is O(batch): each new doc → verdict ('dup_existing' | 'dup_batch' |
+# 'new') + its representative. The old corpus contributes O(buckets) index
+# rows and nothing else.
+
+
+def _minhash_bands_of(docs):
+    """(doc_id, text) → (doc_id, band, h0, h1): 8 md5 minhash seeds banded
+    4×2 — identical scheme to q_minhash_lsh_pairs, parameterized over an
+    arbitrary document slice so index build and batch probe share it."""
+    sh = docs.select("doc_id", F.expr(_SHINGLE_SPARK).alias("sh")).distinct()
+    seeded = sh.withColumn("seed", F.explode(F.sequence(F.lit(0), F.lit(7))))
+    sig = (
+        seeded.withColumn(
+            "hv", F.expr(_md5long("concat(sh, '|', cast(seed as string))"))
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("hv").alias("minhash"))
+    )
+    return sig.groupBy(
+        "doc_id", F.floor(F.col("seed") / 2).cast("long").alias("band")
+    ).agg(
+        F.min(F.when(F.col("seed") % 2 == 0, F.col("minhash"))).alias("h0"),
+        F.min(F.when(F.col("seed") % 2 == 1, F.col("minhash"))).alias("h1"),
+    )
+
+
+def minhash_band_index(old_docs):
+    """The persisted dedup state: every occupied band bucket of the existing
+    corpus with its representative (min doc_id). This is what a deployment
+    writes to its state table after each ingest; `old_docs` is only read
+    here, at index-BUILD time — incremental runs load the index instead."""
+    return (
+        _minhash_bands_of(old_docs)
+        .groupBy("band", "h0", "h1")
+        .agg(F.min("doc_id").alias("rep_id"))
+    )
+
+
+def dedup_newbatch_against_index(new_docs, index):
+    """Dedup a new batch against (a) the persisted band index and (b)
+    itself. Touches only `index` for the old side — never old documents."""
+    from pyspark.sql import Window
+
+    bands = _minhash_bands_of(new_docs)
+    ex = (
+        bands.join(index, ["band", "h0", "h1"])
+        .groupBy("doc_id")
+        .agg(F.min("rep_id").alias("ex_rep"))
+    )
+    wb = Window.partitionBy("band", "h0", "h1")
+    batch = (
+        bands.withColumn("brep", F.min("doc_id").over(wb))
+        .groupBy("doc_id")
+        .agg(F.min("brep").alias("batch_rep"))
+    )
+    return batch.join(ex, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("ex_rep").isNotNull(), F.lit("dup_existing"))
+        .when(F.col("batch_rep") < F.col("doc_id"), F.lit("dup_batch"))
+        .otherwise(F.lit("new"))
+        .alias("verdict"),
+        F.coalesce("ex_rep", "batch_rep", F.col("doc_id")).alias("rep_id"),
+    )
+
+
+def q_dedup_incremental_newbatch(spark, sf_dir):
+    """Deterministic 80/20 corpus split (md5 of doc_id): the 80% is the
+    'existing corpus' whose band index is the persisted state, the 20% is
+    the incoming batch deduped against that index + itself."""
+    d = T(spark, sf_dir, "documents")
+    is_new = F.expr(_md5long("concat('incr|', cast(doc_id as string))")) % 5 == 0
+    index = minhash_band_index(d.where(~is_new))
+    return dedup_newbatch_against_index(d.where(is_new), index)
+
+
+SQL_DEDUP_INCREMENTAL = f"""
+WITH sh AS (SELECT DISTINCT doc_id, sh FROM ({_SHINGLE_DUCK}) q),
+seeded AS (SELECT doc_id, sh, unnest(range(0, 8)) AS seed FROM sh),
+sig AS (
+  SELECT doc_id, seed,
+         MIN({_md5long_duck("concat(sh, '|', CAST(seed AS VARCHAR))")}) AS minhash
+  FROM seeded GROUP BY doc_id, seed),
+bands AS (
+  SELECT doc_id, CAST(seed // 2 AS BIGINT) AS band,
+         MIN(CASE WHEN seed % 2 = 0 THEN minhash END) AS h0,
+         MIN(CASE WHEN seed % 2 = 1 THEN minhash END) AS h1
+  FROM sig GROUP BY 1, 2),
+split AS (
+  SELECT doc_id,
+         ({_md5long_duck("'incr|'||CAST(doc_id AS VARCHAR)")} % 5 = 0) AS is_new
+  FROM documents),
+old_index AS (
+  SELECT band, h0, h1, MIN(b.doc_id) AS rep_id
+  FROM bands b JOIN split s USING (doc_id) WHERE NOT s.is_new
+  GROUP BY 1, 2, 3),
+newb AS (
+  SELECT b.* FROM bands b JOIN split s USING (doc_id) WHERE s.is_new),
+ex AS (
+  SELECT n.doc_id, MIN(i.rep_id) AS ex_rep
+  FROM newb n JOIN old_index i
+    ON n.band = i.band AND n.h0 = i.h0 AND n.h1 = i.h1
+  GROUP BY 1),
+batch_grp AS (
+  SELECT band, h0, h1, MIN(doc_id) AS brep FROM newb GROUP BY 1, 2, 3),
+batch AS (
+  SELECT n.doc_id, MIN(g.brep) AS batch_rep
+  FROM newb n JOIN batch_grp g
+    ON n.band = g.band AND n.h0 = g.h0 AND n.h1 = g.h1
+  GROUP BY 1)
+SELECT b.doc_id,
+       CASE WHEN e.ex_rep IS NOT NULL THEN 'dup_existing'
+            WHEN b.batch_rep < b.doc_id THEN 'dup_batch'
+            ELSE 'new' END AS verdict,
+       COALESCE(e.ex_rep, b.batch_rep, b.doc_id) AS rep_id
+FROM batch b LEFT JOIN ex e ON e.doc_id = b.doc_id
 """
 
 
@@ -2167,9 +2313,20 @@ def q_bpe_merge_step(spark, sf_dir):
         .groupBy("pair")
         .agg(F.sum("wc").alias("cnt"))
     )
-    w = Window.orderBy(F.desc("cnt"), F.asc("pair"))
+    # Two-phase top-k: an unpartitioned row_number() would pull the whole
+    # pair histogram into ONE task (Spark's "No Partition Defined" path) —
+    # vocab-bounded here, a straggler at a production 256k-merge vocab.
+    # Phase 1 ranks per salted partition (each true top-20 row is top-20 in
+    # its salt group), phase 2 re-ranks only the ≤ 20·32 survivors under a
+    # constant key, so the single-task stage sees a bounded input by
+    # construction.
+    salt = F.pmod(F.xxhash64("pair"), F.lit(32))
+    w1 = Window.partitionBy(salt).orderBy(F.desc("cnt"), F.asc("pair"))
+    w2 = Window.partitionBy(F.lit(0)).orderBy(F.desc("cnt"), F.asc("pair"))
     return (
-        pairs.withColumn("rn", F.row_number().over(w).cast("long"))
+        pairs.withColumn("srn", F.row_number().over(w1))
+        .where(F.col("srn") <= 20)
+        .withColumn("rn", F.row_number().over(w2).cast("long"))
         .where(F.col("rn") <= 20)
         .select("rn", "pair", "cnt")
     )
@@ -2321,11 +2478,91 @@ def q_bpe_vocab_stats(spark, sf_dir, k: int = _BPE_TRAIN_K, topn: int = 30):
     freq = syms.groupBy(F.col("sym").alias("token")).agg(
         F.sum("wc").alias("freq")
     )
-    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    # Two-phase top-k (see q_bpe_merge_step): salted per-partition rank
+    # bounds the input, then a constant-key re-rank of the ≤ topn·32
+    # survivors — no unpartitioned window over the full symbol histogram.
+    salt = F.pmod(F.xxhash64("token"), F.lit(32))
+    w1 = Window.partitionBy(salt).orderBy(F.desc("freq"), F.asc("token"))
+    w2 = Window.partitionBy(F.lit(0)).orderBy(F.desc("freq"), F.asc("token"))
     return (
-        freq.withColumn("rank", F.row_number().over(w).cast("long"))
+        freq.withColumn("srk", F.row_number().over(w1))
+        .where(F.col("srk") <= topn)
+        .withColumn("rank", F.row_number().over(w2).cast("long"))
         .where(F.col("rank") <= topn)
         .select("rank", "token", "freq")
+    )
+
+
+def q_bpe_tokenize_docs(spark, sf_dir, k: int = _BPE_TRAIN_K):
+    """Tokenize the CORPUS under the trained ruleset — the actual
+    tokenize-the-dataset job that runs after `bpe_train_k` ships its
+    merges: every document becomes its token-ID sequence.
+
+    Token ids are deterministic functions of the ruleset: base symbols
+    a..z → 1..26, the step-s merge's symbol → 26+s (min step if a string
+    is ever produced twice). Per doc the op emits the (length ≥ 2,
+    lowercased) word count, total token count, and the md5 fingerprint of
+    the comma-joined id sequence — the sequence itself, pinned without
+    hash-comparing a giant array column.
+
+    Shape at 100 TB: the merge rewrite is applied once per DISTINCT word
+    (the trainer's final symbol table IS the rewrite — vocab-not-corpus,
+    `_bpe_train`), collapsed to a word → (ids, n_tok) table that is
+    O(vocabulary) and BROADCAST to the corpus scan — the word join key is
+    Zipf-skewed, so shuffling on it would melt; broadcasting the vocab
+    side means the corpus never shuffles at all except the final
+    doc_id-keyed reassembly aggregate (uniform key, map-side combined
+    structs). Per-doc ordering rides array_sort over (position, ids) —
+    no window, no per-row Python."""
+    merges, syms = _bpe_train(spark, sf_dir, k)
+    merge_id: dict[str, int] = {}
+    for step, _a, _b, merged, _cnt in merges:
+        merge_id.setdefault(merged, 26 + step)
+    if merge_id:
+        id_map = F.create_map(
+            *[
+                x
+                for mstr, tid in sorted(merge_id.items())
+                for x in (F.lit(mstr), F.lit(tid))
+            ]
+        )
+        merged_tid = id_map[F.col("sym")]
+    else:
+        merged_tid = F.lit(None).cast("long")
+    word_ids = (
+        syms.withColumn(
+            "tid",
+            F.when(F.length("sym") == 1, F.ascii("sym") - 96)
+            .otherwise(merged_tid)
+            .cast("long"),
+        )
+        .groupBy("word")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(pos, tid))),"
+                " s -> cast(s.tid as string)), ',')"
+            ).alias("ids"),
+            F.count(F.lit(1)).alias("n_tok"),
+        )
+    )
+    d = T(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), "[^a-z]+")).alias("widx", "word"),
+    ).where(F.length("word") >= 2)
+    return (
+        words.join(F.broadcast(word_ids), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.md5(
+                F.expr(
+                    "array_join(transform(array_sort(collect_list(struct(widx, ids))),"
+                    " s -> s.ids), ',')"
+                )
+            ).alias("tok_fp"),
+        )
     )
 
 
@@ -2406,8 +2643,45 @@ WHERE rank <= {topn}
     )
 
 
+def _sql_bpe_tokenize_docs(k: int = _BPE_TRAIN_K) -> str:
+    steps_union = "\nUNION ALL\n".join(
+        f"SELECT {s} AS step, a || b AS merged FROM best{s}" for s in range(1, k + 1)
+    )
+    return (
+        _sql_bpe_train_k(k)
+        + f"""
+, merge_ids AS (
+  SELECT merged, CAST(26 + MIN(step) AS BIGINT) AS tid FROM (
+    {steps_union}) m GROUP BY merged),
+sym_ids AS (
+  SELECT s.word, s.pos,
+         CASE WHEN length(s.sym) = 1 THEN CAST(ascii(s.sym) - 96 AS BIGINT)
+              ELSE mi.tid END AS tid
+  FROM syms{k} s LEFT JOIN merge_ids mi ON mi.merged = s.sym),
+word_ids AS (
+  SELECT word, string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos) AS ids,
+         CAST(COUNT(*) AS BIGINT) AS n_tok
+  FROM sym_ids GROUP BY word),
+doc_words AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS widx, toks[CAST(i AS INT)] AS word
+  FROM (SELECT doc_id,
+               regexp_split_to_array(lower(text), '[^a-z]+') AS toks,
+               UNNEST(range(1,
+                 len(regexp_split_to_array(lower(text), '[^a-z]+')) + 1)) AS i
+        FROM documents) t
+  WHERE length(toks[CAST(i AS INT)]) >= 2)
+SELECT dw.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(w.n_tok) AS BIGINT) AS n_tokens,
+       md5(string_agg(w.ids, ',' ORDER BY dw.widx)) AS tok_fp
+FROM doc_words dw JOIN word_ids w USING (word)
+GROUP BY dw.doc_id
+"""
+    )
+
+
 SQL_BPE_TRAIN_K = _sql_bpe_train_final()
 SQL_BPE_VOCAB_STATS = _sql_bpe_vocab_stats()
+SQL_BPE_TOKENIZE = _sql_bpe_tokenize_docs()
 
 
 # -- Connected components: large-star/small-star (O(log n) rounds) ------------------
@@ -2488,8 +2762,33 @@ def _connected_components_star(edges, spark, max_rounds: int = 64):
         ).collect()[0]
         fp = (row["n"], row["h"])
         if fp == prev_fp:
+            converged = True
             break
         prev_fp = fp
+    else:
+        converged = False
+    # The in-loop convergence probe is probabilistic (count + xxhash xor
+    # fold); before the edge set is consumed as a star mapping, check the
+    # star property EXACTLY: one out-edge per node. A fingerprint collision
+    # or max_rounds exhaustion would otherwise hand a non-star edge set to
+    # the caller, whose label join then fans out (2+ label rows per node →
+    # duplicated doc_ids, inflated cluster_size). Cost: one O(1)-row agg.
+    star_row = E.agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("u").alias("nu")
+    ).collect()[0]
+    if not converged or star_row["n"] != star_row["nu"]:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "large-star/small-star did not reach a star after %d rounds "
+            "(converged=%s, edges=%d, distinct_u=%d); falling back to "
+            "min-label propagation",
+            rounds,
+            converged,
+            star_row["n"],
+            star_row["nu"],
+        )
+        return _connected_components(edges, spark), rounds
     labels = (
         nodes.join(
             E.select(F.col("u").alias("node"), F.col("v").alias("lbl")), "node", "left"
@@ -2530,6 +2829,11 @@ TEXTOPS = {
     "bpe_merge_step": (q_bpe_merge_step, SQL_BPE_MERGE),
     "bpe_train_k": (q_bpe_train_k, SQL_BPE_TRAIN_K),
     "bpe_vocab_stats": (q_bpe_vocab_stats, SQL_BPE_VOCAB_STATS),
+    "bpe_tokenize_docs": (q_bpe_tokenize_docs, SQL_BPE_TOKENIZE),
+    "dedup_incremental_newbatch": (
+        q_dedup_incremental_newbatch,
+        SQL_DEDUP_INCREMENTAL,
+    ),
     "dedup_cc_largestar": (q_dedup_cc_largestar, SQL_DEDUP_CC),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),

@@ -104,3 +104,36 @@ def test_bpe_vocab_stats_matches_python_trainer(spark):
         for r in q_bpe_vocab_stats(spark, SF_DIR).orderBy("rank").collect()
     ]
     assert got == expected
+
+
+def test_bpe_tokenize_docs_matches_python_twin(spark):
+    """Corpus tokenize-apply vs the pure-Python twin: per doc, the word
+    count, token count, and the md5 fingerprint of the comma-joined
+    token-id sequence (a..z → 1..26, step-s merge → 26+s)."""
+    import hashlib
+
+    from monocator_spark.queries.textops import _BPE_TRAIN_K, q_bpe_tokenize_docs
+
+    df = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    merges, _vocab, seqs = _python_bpe_full(df["text"].tolist(), _BPE_TRAIN_K)
+    tid = {}
+    for step, _a, _b, merged, _c in merges:
+        tid.setdefault(merged, 26 + step)
+
+    def sym_id(s):
+        return ord(s) - 96 if len(s) == 1 else tid[s]
+
+    expected = {}
+    for doc_id, text in zip(df["doc_id"], df["text"]):
+        words = [w for w in re.split("[^a-z]+", text.lower()) if len(w) >= 2]
+        if not words:
+            continue
+        ids = [sym_id(s) for w in words for s in seqs[w]]
+        fp = hashlib.md5(",".join(map(str, ids)).encode()).hexdigest()
+        expected[int(doc_id)] = (len(words), len(ids), fp)
+
+    got = {
+        int(r["doc_id"]): (r["n_words"], r["n_tokens"], r["tok_fp"])
+        for r in q_bpe_tokenize_docs(spark, SF_DIR).collect()
+    }
+    assert got == expected
