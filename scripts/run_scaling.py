@@ -84,8 +84,12 @@ def run_levels(args: argparse.Namespace) -> tuple[dict, dict]:
     a downward ramp walked 8-core reps 28.5k → 25.5k → 22.9k while
     2-core barely moved, biasing every small-first pair low). Alternating
     the order makes the ramp bias cancel in the median."""
-    small_reps, large_reps = [], []
+    small_reps, large_reps, probes = [], [], []
     for i in range(args.reps):
+        probes.append(_disk_probe() if args.disk_gate else None)
+        if probes[-1] is not None:
+            print(f"--- pre-pair disk probe: {probes[-1]} MB/s "
+                  f"(gate {args.disk_gate})", flush=True)
         order = (
             [(small_reps, args.n_small), (large_reps, args.n_large)]
             if i % 2 == 0
@@ -93,7 +97,21 @@ def run_levels(args: argparse.Namespace) -> tuple[dict, dict]:
         )
         for acc, n in order:
             acc.append(run_level(args, n))
-    return small_reps, large_reps
+    return small_reps, large_reps, probes
+
+
+def _disk_probe(dur: float = 8.0) -> float:
+    """Single-proc disk probe (same kernel as probe_machine.disk_work) run
+    immediately before a pair — the round-5 pre-registered window-quality
+    gate (BENCH/PREREG_r05_window_gate.md): pairs taken in a contended
+    window are filed but excluded from the gated headline median."""
+    import time
+
+    from scripts.probe_machine import disk_work
+
+    t0 = time.monotonic()
+    mb = disk_work((dur, 0))
+    return round(mb / (time.monotonic() - t0), 1)
 
 
 def run_level(args: argparse.Namespace, cores: int) -> dict:
@@ -187,6 +205,11 @@ def main() -> None:
     ap.add_argument("--local-cluster", action="store_true",
                     help="run each level on local-cluster[N,1,mem] (separate "
                          "executor JVMs + real shuffle fetch) instead of local[N]")
+    ap.add_argument("--disk-gate", type=float, default=None,
+                    help="pre-registered window gate (MB/s): run a 1-proc "
+                         "disk probe before each pair; pairs below the gate "
+                         "are filed but excluded from the gated median "
+                         "(BENCH/PREREG_r05_window_gate.md)")
     args = ap.parse_args()
 
     from scripts.gen_world import ensure_world
@@ -204,10 +227,15 @@ def main() -> None:
     )
     print(f"world ready: {meta}", flush=True)
 
-    small_reps, large_reps = run_levels(args)
+    small_reps, large_reps, probes = run_levels(args)
     ratio = args.n_large / args.n_small
     pair_effs = _pair_efficiencies(small_reps, large_reps, ratio)
     eff = _median(pair_effs)
+    qualifies = [
+        p is not None and p >= args.disk_gate if args.disk_gate else True
+        for p in probes
+    ]
+    gated_effs = [e for e, q in zip(pair_effs, qualifies) if q]
     small, large = _pick_best(small_reps), _pick_best(large_reps)
 
     det_ok = (
@@ -226,6 +254,13 @@ def main() -> None:
         # see _pair_efficiencies for why cross-rep bests are not compared
         "scaling_efficiency": eff,
         "pair_efficiencies": pair_effs,
+        "disk_gate_mb_s": args.disk_gate,
+        "pair_probe_mb_s": probes,
+        "pair_qualifies": qualifies,
+        "scaling_efficiency_gated": (
+            _median(gated_effs) if gated_effs else None
+        ),
+        "window_blocked": bool(args.disk_gate and not gated_effs),
         "efficiency_cross_rep_best": round(
             large["urls_per_sec"] / (ratio * small["urls_per_sec"]), 3
         ),
@@ -240,7 +275,8 @@ def main() -> None:
         json.dump(summary, f, indent=2)
     print(json.dumps({k: summary[k] for k in (
         "deterministic_across_levels", "thr_small", "thr_large",
-        "scaling_efficiency", "pair_efficiencies", "pass")}))
+        "scaling_efficiency", "pair_efficiencies",
+        "scaling_efficiency_gated", "pair_probe_mb_s", "pass")}))
 
 
 if __name__ == "__main__":
