@@ -2317,18 +2317,35 @@ def q_bpe_merge_step(spark, sf_dir):
     # pair histogram into ONE task (Spark's "No Partition Defined" path) —
     # vocab-bounded here, a straggler at a production 256k-merge vocab.
     # Phase 1 ranks per salted partition (each true top-20 row is top-20 in
-    # its salt group), phase 2 re-ranks only the ≤ 20·32 survivors under a
-    # constant key, so the single-task stage sees a bounded input by
-    # construction.
+    # its salt group, so nothing is lost); phase 2 re-ranks only the
+    # ≤ 20·32 survivors with a bounded windowless aggregate: collect the
+    # survivors into one array (map-side partial agg), array_sort on
+    # (-cnt, pair), slice 20, posexplode into ranks. No WindowExec, and the
+    # only single-task stage sees ≤ 640 rows by construction.
     salt = F.pmod(F.xxhash64("pair"), F.lit(32))
     w1 = Window.partitionBy(salt).orderBy(F.desc("cnt"), F.asc("pair"))
-    w2 = Window.partitionBy(F.lit(0)).orderBy(F.desc("cnt"), F.asc("pair"))
     return (
         pairs.withColumn("srn", F.row_number().over(w1))
         .where(F.col("srn") <= 20)
-        .withColumn("rn", F.row_number().over(w2).cast("long"))
-        .where(F.col("rn") <= 20)
-        .select("rn", "pair", "cnt")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("cnt")).alias("neg"), "pair", "cnt"
+                        )
+                    )
+                ),
+                1,
+                20,
+            ).alias("top")
+        )
+        .select(F.posexplode("top").alias("pos", "s"))
+        .select(
+            (F.col("pos") + 1).cast("long").alias("rn"),
+            F.col("s.pair").alias("pair"),
+            F.col("s.cnt").alias("cnt"),
+        )
     )
 
 
@@ -2479,17 +2496,34 @@ def q_bpe_vocab_stats(spark, sf_dir, k: int = _BPE_TRAIN_K, topn: int = 30):
         F.sum("wc").alias("freq")
     )
     # Two-phase top-k (see q_bpe_merge_step): salted per-partition rank
-    # bounds the input, then a constant-key re-rank of the ≤ topn·32
-    # survivors — no unpartitioned window over the full symbol histogram.
+    # bounds the input to ≤ topn·32 survivors, then a windowless bounded
+    # aggregate (collect → array_sort on (-freq, token) → slice →
+    # posexplode) produces the global ranks — no unpartitioned window over
+    # the full symbol histogram.
     salt = F.pmod(F.xxhash64("token"), F.lit(32))
     w1 = Window.partitionBy(salt).orderBy(F.desc("freq"), F.asc("token"))
-    w2 = Window.partitionBy(F.lit(0)).orderBy(F.desc("freq"), F.asc("token"))
     return (
         freq.withColumn("srk", F.row_number().over(w1))
         .where(F.col("srk") <= topn)
-        .withColumn("rank", F.row_number().over(w2).cast("long"))
-        .where(F.col("rank") <= topn)
-        .select("rank", "token", "freq")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("freq")).alias("neg"), "token", "freq"
+                        )
+                    )
+                ),
+                1,
+                topn,
+            ).alias("top")
+        )
+        .select(F.posexplode("top").alias("pos", "s"))
+        .select(
+            (F.col("pos") + 1).cast("long").alias("rank"),
+            F.col("s.token").alias("token"),
+            F.col("s.freq").alias("freq"),
+        )
     )
 
 
