@@ -96,6 +96,8 @@ HEADLINE = [
     "audio_window_energy",
     "bm25_topk",
     "split_assign",
+    "dedup_incremental_newbatch",
+    "bpe_tokenize_docs",
     "urlnorm_grid",
     "robots_longest_match",
     "tumbling_window_stream",
