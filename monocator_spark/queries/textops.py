@@ -2788,39 +2788,39 @@ def _connected_components_star(edges, spark, max_rounds: int = 64):
             .distinct()
             .localCheckpoint()
         )
+        # One O(1)-row agg per round: the probabilistic convergence
+        # fingerprint (count + xxhash xor-fold — overflow-free in ANSI
+        # mode, order-insensitive) PLUS the exact star property
+        # (one out-edge per node, count == distinct u). Folding the star
+        # check into the loop agg makes the post-convergence guard free:
+        # the break-round's row already describes the final edge set.
         row = E.agg(
             F.count(F.lit(1)).alias("n"),
-            # xor-fold, not sum: overflow-free (ANSI mode) and exact on the
-            # distinct edge set; order-insensitive like any commutative agg
             F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+            F.countDistinct("u").alias("nu"),
         ).collect()[0]
         fp = (row["n"], row["h"])
         if fp == prev_fp:
             converged = True
+            star_ok = row["n"] == row["nu"]
             break
         prev_fp = fp
     else:
         converged = False
-    # The in-loop convergence probe is probabilistic (count + xxhash xor
-    # fold); before the edge set is consumed as a star mapping, check the
-    # star property EXACTLY: one out-edge per node. A fingerprint collision
-    # or max_rounds exhaustion would otherwise hand a non-star edge set to
-    # the caller, whose label join then fans out (2+ label rows per node →
-    # duplicated doc_ids, inflated cluster_size). Cost: one O(1)-row agg.
-    star_row = E.agg(
-        F.count(F.lit(1)).alias("n"), F.countDistinct("u").alias("nu")
-    ).collect()[0]
-    if not converged or star_row["n"] != star_row["nu"]:
+        star_ok = False
+    # A fingerprint collision or max_rounds exhaustion would otherwise hand
+    # a non-star edge set to the caller, whose label join then fans out
+    # (2+ label rows per node → duplicated doc_ids, inflated cluster_size).
+    # The exact check above makes that impossible: fall back to min-label
+    # propagation instead of returning a non-star mapping.
+    if not converged or not star_ok:
         import logging
 
         logging.getLogger(__name__).warning(
             "large-star/small-star did not reach a star after %d rounds "
-            "(converged=%s, edges=%d, distinct_u=%d); falling back to "
-            "min-label propagation",
+            "(converged=%s); falling back to min-label propagation",
             rounds,
             converged,
-            star_row["n"],
-            star_row["nu"],
         )
         return _connected_components(edges, spark), rounds
     labels = (
