@@ -56,6 +56,27 @@ def test_chain_logn_rounds(spark):
     assert star_rounds < prop_rounds[0]
 
 
+def test_exhaustion_falls_back_to_propagation(spark, caplog):
+    """ADVICE-r4 guard: when the alternation cannot prove a star (here:
+    max_rounds too small for the chain), the op must NOT return the
+    intermediate non-star edge set — it logs and falls back to min-label
+    propagation, so the labels are still exact and one-row-per-node."""
+    import logging
+
+    from monocator_spark.queries.textops import _connected_components_star
+
+    pairs = [(i, i + 1) for i in range(_CHAIN_N - 1)] + [(50, 51)]
+    edges = _sym(spark, pairs)
+    expected = {**{i: 0 for i in range(_CHAIN_N)}, 50: 50, 51: 50}
+
+    with caplog.at_level(logging.WARNING):
+        labels, _rounds = _connected_components_star(edges, spark, max_rounds=1)
+    got = [(r["node"], r["lbl"]) for r in labels.collect()]
+    assert dict(got) == expected
+    assert len(got) == len(expected)  # exactly one label row per node
+    assert any("falling back" in rec.message for rec in caplog.records)
+
+
 def test_star_matches_propagation_on_testdata(spark):
     from monocator_spark.queries.textops import (
         q_dedup_cc_largestar,

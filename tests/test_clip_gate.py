@@ -50,7 +50,9 @@ def test_clip_gate_matches_numpy_twin(spark):
         cap = _cap_vec(row["text"], _CLIP_DIM, _CLIP_CAP_TOKENS)
         dot = int(img @ cap)
         na, nb = int(img @ img), int(cap @ cap)
-        aligned = dot >= 0 and 100 * dot * dot >= _CLIP_TAU_SQ100 * na * nb
+        aligned = (
+            nb > 0 and dot >= 0 and 100 * dot * dot >= _CLIP_TAU_SQ100 * na * nb
+        )
         expected[row["doc_id"]] = (dot, na, nb, aligned)
 
     got = {
@@ -62,3 +64,58 @@ def test_clip_gate_matches_numpy_twin(spark):
     # the τ = 0.1 gate must actually discriminate on this corpus
     verdicts = {v[3] for v in got.values()}
     assert verdicts == {True, False}
+
+
+def test_clip_gate_zero_token_captions_cross_engine(spark, tmp_root):
+    """The ADVICE-r4 scenario the shipped testdata cannot exercise: docs
+    whose caption yields ZERO tokens (empty / whitespace-only / NULL text)
+    must (a) still appear in the output — not vanish through the explode —
+    with a zero caption vector, and (b) gate aligned=False (nb_q = 0 has
+    no direction), identically on Spark and the DuckDB oracle."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from monocator_spark.queries.imaging import SQL_CLIP_GATE, q_clip_alignment_gate
+
+    sf_dir = f"{tmp_root}/clip_degenerate"
+    Path(sf_dir).mkdir(parents=True, exist_ok=True)
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                ["a plain caption with tokens", "", "   ", None], pa.string()
+            ),
+        }
+    )
+    pq.write_table(docs, f"{sf_dir}/documents.parquet")
+    vec = [float((i % 7) - 3) / 4 for i in range(64)]
+    embs = pa.table(
+        {
+            "vec_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "embedding": pa.array([vec] * 4, pa.list_(pa.float32())),
+        }
+    )
+    pq.write_table(embs, f"{sf_dir}/embeddings.parquet")
+
+    got = {
+        r["doc_id"]: (r["dot_q"], r["na_q"], r["nb_q"], r["aligned"])
+        for r in q_clip_alignment_gate(spark, sf_dir).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    exp = {
+        int(r[0]): (int(r[1]), int(r[2]), int(r[3]), bool(r[4]))
+        for r in con.execute(SQL_CLIP_GATE).fetchall()
+    }
+    assert got == exp
+    # all four docs present — the degenerate ones did not vanish
+    assert set(got) == {1, 2, 3, 4}
+    for d in (2, 3, 4):
+        assert got[d][2] == 0 and got[d][3] is False  # nb_q=0 → not aligned
