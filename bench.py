@@ -98,6 +98,7 @@ HEADLINE = [
     "split_assign",
     "dedup_incremental_newbatch",
     "bpe_tokenize_docs",
+    "phash_incremental_newbatch",
     "urlnorm_grid",
     "robots_longest_match",
     "tumbling_window_stream",

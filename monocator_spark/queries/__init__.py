@@ -71,6 +71,7 @@ _NEVER_DRIVER_TESTED = [
     "bpe_vocab_stats", "dedup_cc_largestar", "bpe_train_k",
     # new in round 5:
     "dedup_incremental_newbatch", "bpe_tokenize_docs",
+    "phash_incremental_newbatch",
 ]
 
 # Tier 2: last driver-verified in r03 (rotated out of r04's 50-row window).

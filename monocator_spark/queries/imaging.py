@@ -169,6 +169,141 @@ FROM rep GROUP BY doc_id
 """
 
 
+# -- Incremental image dedup: new batch vs persisted phash band index ----------
+# The image-side twin of textops.dedup_incremental_newbatch — the crawl's
+# actual continuous-ingest shape: every epoch fetches new images that must
+# be near-dup-checked against the already-stored corpus WITHOUT re-reading
+# it. The persisted state is the phash band index: one row per (band_id,
+# band_val, member doc, phash) of the existing corpus. A new image probes
+# its 6 band buckets (equi-join on the band key — only matching buckets are
+# ever read), then verifies candidates with an EXACT popcount: at
+# threshold 4 ≤ bands-1 = 5 the pigeonhole guarantee makes the banded plan
+# output-identical to the naive all-pairs Hamming join, which is exactly
+# what the DuckDB oracle runs (quadratic, band-free) — two independent
+# plans, same rows.
+#
+# Shape at 100 TB: index rows are (longs × 4), O(6·corpus), partitioned by
+# the uniform 10-bit band key; the new batch (≪ corpus) explodes to 6 band
+# rows each and joins only its own buckets. In-batch dedup rides the same
+# band explode. No stage touches old image bytes or old band buckets the
+# batch does not probe.
+
+
+def _phash_bands_of(ph):
+    """(doc_id, phash) → (doc_id, phash, band_id, band_val)."""
+    return ph.select(
+        "doc_id",
+        "phash",
+        F.explode(F.expr(f"sequence(0, {_BANDS - 1})")).alias("band_id"),
+    ).withColumn(
+        "band_val",
+        F.expr(
+            f"shiftright(phash, cast(band_id * {_BAND_BITS} as int))"
+            f" & cast({(1 << _BAND_BITS) - 1} as bigint)"
+        ),
+    )
+
+
+def phash_band_index(old_ph):
+    """The persisted image-dedup state: every (band bucket, member, hash)
+    of the existing corpus. Written once at ingest; incremental runs load
+    this instead of the corpus."""
+    return _phash_bands_of(old_ph).select("band_id", "band_val", "doc_id", "phash")
+
+
+def phash_dedup_newbatch(new_ph, index):
+    """Dedup a new batch of (doc_id, phash) against (a) the persisted band
+    index and (b) itself, popcount-verified at Hamming ≤ _THRESHOLD.
+    Touches only `index` for the old side."""
+    bands = _phash_bands_of(new_ph)
+    ex = (
+        bands.alias("n")
+        .join(
+            index.alias("i"),
+            (F.col("n.band_id") == F.col("i.band_id"))
+            & (F.col("n.band_val") == F.col("i.band_val")),
+        )
+        .where(F.expr(f"bit_count(n.phash ^ i.phash) <= {_THRESHOLD}"))
+        .groupBy(F.col("n.doc_id").alias("doc_id"))
+        .agg(F.min(F.col("i.doc_id")).alias("ex_rep"))
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    batch = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(F.expr(f"bit_count(a.phash ^ b.phash) <= {_THRESHOLD}"))
+        .groupBy(F.col("b.doc_id").alias("doc_id"))
+        .agg(F.min(F.col("a.doc_id")).alias("batch_rep"))
+    )
+    return (
+        new_ph.select("doc_id")
+        .join(ex, "doc_id", "left")
+        .join(batch, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("ex_rep").isNotNull(), F.lit("dup_existing"))
+            .when(F.col("batch_rep").isNotNull(), F.lit("dup_batch"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+            F.coalesce("ex_rep", "batch_rep", F.col("doc_id")).alias("rep_id"),
+        )
+    )
+
+
+def q_phash_incremental_newbatch(spark, sf_dir):
+    """Deterministic 80/20 corpus split (md5 of doc_id): the 80% is the
+    already-ingested image corpus whose band index is the persisted state,
+    the 20% is this epoch's fetched batch."""
+    d = T(spark, sf_dir, "documents")
+    ph = d.select("doc_id", F.expr(_PHASH_SPARK).alias("phash"))
+    is_new = (
+        F.expr(
+            "cast(conv(substr(md5(concat('imginc|', cast(doc_id as string))),1,15),16,10)"
+            " as bigint)"
+        )
+        % 5
+        == 0
+    )
+    index = phash_band_index(ph.where(~is_new))
+    return phash_dedup_newbatch(ph.where(is_new), index)
+
+
+SQL_PHASH_INCREMENTAL = f"""
+WITH ph AS (
+  SELECT doc_id, {_PHASH_DUCK} AS phash FROM documents),
+split AS (
+  SELECT doc_id,
+         (CAST(('0x'||substr(md5('imginc|'||CAST(doc_id AS VARCHAR)),1,15))
+               AS BIGINT) % 5 = 0) AS is_new
+  FROM documents),
+newp AS (SELECT p.* FROM ph p JOIN split s USING (doc_id) WHERE s.is_new),
+oldp AS (SELECT p.* FROM ph p JOIN split s USING (doc_id) WHERE NOT s.is_new),
+ex AS (
+  SELECT n.doc_id, MIN(o.doc_id) AS ex_rep
+  FROM newp n JOIN oldp o
+    ON bit_count(xor(n.phash, o.phash)) <= {_THRESHOLD}
+  GROUP BY 1),
+batch AS (
+  SELECT b.doc_id, MIN(a.doc_id) AS batch_rep
+  FROM newp a JOIN newp b
+    ON a.doc_id < b.doc_id
+   AND bit_count(xor(a.phash, b.phash)) <= {_THRESHOLD}
+  GROUP BY 1)
+SELECT n.doc_id,
+       CASE WHEN e.ex_rep IS NOT NULL THEN 'dup_existing'
+            WHEN b.batch_rep IS NOT NULL THEN 'dup_batch'
+            ELSE 'new' END AS verdict,
+       COALESCE(e.ex_rep, b.batch_rep, n.doc_id) AS rep_id
+FROM newp n
+LEFT JOIN ex e ON e.doc_id = n.doc_id
+LEFT JOIN batch b ON b.doc_id = n.doc_id
+"""
+
+
 # -- image resize / thumbnail (real codec + real resampling) -------------------
 # Brief: "decode / feature-extract / resize / frame-sample as Pandas UDFs
 # over mapInPandas". Testdata carries no image bytes, so the Spark side
@@ -885,6 +1020,10 @@ SQL_CLIP_GATE = _sql_clip_gate()
 IMAGING = {
     "phash_hamming_pairs": (q_phash_hamming_pairs, SQL_PHASH_PAIRS),
     "phash_dedup_groups": (q_phash_dedup_groups, SQL_PHASH_GROUPS),
+    "phash_incremental_newbatch": (
+        q_phash_incremental_newbatch,
+        SQL_PHASH_INCREMENTAL,
+    ),
     "image_resize_thumb": (q_image_resize_thumb, SQL_RESIZE_THUMB),
     "frame_sample_stub": (q_frame_sample_stub, SQL_FRAME_SAMPLE),
     "audio_window_energy": (q_audio_window_energy, SQL_AUDIO_ENERGY),
