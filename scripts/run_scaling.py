@@ -70,12 +70,14 @@ def _median(xs: list[float]) -> float:
     return s[mid] if n % 2 else round((s[mid - 1] + s[mid]) / 2, 3)
 
 
-def run_levels(args: argparse.Namespace) -> tuple[dict, dict]:
+def run_levels(args: argparse.Namespace) -> tuple[list, list, list]:
     """Run both levels' reps INTERLEAVED (small, large, small, large, ...)
     so slow drift in the shared host's capacity hits both levels equally
     instead of whichever level's block caught the quiet window — the
     efficiency ratio is what the gate reads, so drift between the two
-    blocks is the one noise source best-of-N can't wash out.
+    blocks is the one noise source best-of-N can't wash out. Returns
+    (small_reps, large_reps, probes): probes holds the pre-pair disk-probe
+    MB/s per rep (None when --disk-gate is unset).
 
     Within-pair order COUNTERBALANCES across reps (small-first on even
     reps, large-first on odd): under a monotone capacity ramp the
@@ -86,7 +88,9 @@ def run_levels(args: argparse.Namespace) -> tuple[dict, dict]:
     the order makes the ramp bias cancel in the median."""
     small_reps, large_reps, probes = [], [], []
     for i in range(args.reps):
-        probes.append(_disk_probe() if args.disk_gate else None)
+        # `is not None`, not truthiness: --disk-gate 0 means "probe every
+        # pair but never exclude", not "don't probe"
+        probes.append(_disk_probe() if args.disk_gate is not None else None)
         if probes[-1] is not None:
             print(f"--- pre-pair disk probe: {probes[-1]} MB/s "
                   f"(gate {args.disk_gate})", flush=True)
@@ -232,7 +236,9 @@ def main() -> None:
     pair_effs = _pair_efficiencies(small_reps, large_reps, ratio)
     eff = _median(pair_effs)
     qualifies = [
-        p is not None and p >= args.disk_gate if args.disk_gate else True
+        (p is not None and p >= args.disk_gate)
+        if args.disk_gate is not None
+        else True
         for p in probes
     ]
     gated_effs = [e for e, q in zip(pair_effs, qualifies) if q]
@@ -260,7 +266,7 @@ def main() -> None:
         "scaling_efficiency_gated": (
             _median(gated_effs) if gated_effs else None
         ),
-        "window_blocked": bool(args.disk_gate and not gated_effs),
+        "window_blocked": bool(args.disk_gate is not None and not gated_effs),
         "efficiency_cross_rep_best": round(
             large["urls_per_sec"] / (ratio * small["urls_per_sec"]), 3
         ),

@@ -25,19 +25,29 @@ SF_DIR = "/root/testdata/sf0.01"
 
 def run(cmd: list[str]) -> tuple[int, str, float]:
     t0 = time.monotonic()
-    p = subprocess.run(
-        cmd, cwd=REPO, text=True, capture_output=True, timeout=3600
-    )
+    try:
+        p = subprocess.run(
+            cmd, cwd=REPO, text=True, capture_output=True, timeout=3600
+        )
+        rc, stdout, stderr = p.returncode, p.stdout, p.stderr
+    except subprocess.TimeoutExpired as exc:
+        # still produce an artifact naming the hung stage rather than
+        # aborting with no record of what hung
+        rc = 124
+        stdout = (exc.stdout or b"").decode(errors="replace") if isinstance(
+            exc.stdout, bytes
+        ) else (exc.stdout or "")
+        stderr = "TIMEOUT after 3600s: " + " ".join(cmd)
     el = time.monotonic() - t0
     # keep stdout (the per-query lines); drop Spark's stderr chatter except
-    # genuine tracebacks
+    # genuine errors/tracebacks (log4j logs upper-case ERROR)
     err_tail = "\n".join(
         ln
-        for ln in p.stderr.splitlines()
-        if "Error" in ln or "Traceback" in ln or "Exception" in ln
+        for ln in stderr.splitlines()
+        if any(t in ln.lower() for t in ("error", "traceback", "exception", "timeout"))
     )
-    out = p.stdout + ("\n[stderr]\n" + err_tail if err_tail else "")
-    return p.returncode, out, el
+    out = stdout + ("\n[stderr]\n" + err_tail if err_tail else "")
+    return rc, out, el
 
 
 def main() -> None:
@@ -54,7 +64,9 @@ def main() -> None:
 
     oracle_rc, oracle_out, oracle_el = results["oracles"]
     plan_rc, plan_out, plan_el = results["plans"]
-    n_ok = sum(1 for ln in oracle_out.splitlines() if ln.startswith("ok "))
+    # "ok " = hash-compared pass; "ok?" = rows-only pass (no oracle SQL) —
+    # both count as verified-green in the table
+    n_ok = sum(1 for ln in oracle_out.splitlines() if ln.startswith("ok"))
     verdict_oracle = next(
         (ln for ln in oracle_out.splitlines() if ln.startswith("RESULT:")), "RESULT: ?"
     )
