@@ -640,7 +640,10 @@ GROUP BY b.doc_id
 # month's crawl against the existing 100 TB corpus". The existing corpus is
 # represented ONLY by its persisted band index — (band, h0, h1) bucket →
 # representative doc — the same state-table discipline as the crawl's
-# url_seen shards (operators/dedup.py:78): the index is built once, the old
+# url_seen shards (operators/dedup.py:78), whose reference analogue is the
+# IP-keyed FullScanCache consulted before every new scan
+# (/root/reference/src/TODO.MD:41): state written by earlier work gates
+# later work without re-reading it. The index is built once, the old
 # corpus text is never re-shingled, and each incoming batch touches the old
 # side at band-BUCKET granularity (an equi-join on the band key), never at
 # document granularity.
